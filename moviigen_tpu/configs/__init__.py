@@ -1,0 +1,219 @@
+"""Model / pipeline configuration registry.
+
+Parity: mirrors the reference's EasyDict config system
+(``wan/configs/shared_config.py:6-19``, ``wan/configs/wan_t2v_14B.py:8-29``,
+``wan/configs/__init__.py:13-43``) as frozen dataclasses so configs are
+hashable and usable as jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class WanModelConfig:
+    """DiT backbone hyperparameters (ref: wan/modules/model.py:372-442)."""
+
+    model_type: str = "t2v"  # 't2v' | 'i2v'
+    patch_size: Tuple[int, int, int] = (1, 2, 2)
+    text_len: int = 512
+    in_dim: int = 16
+    dim: int = 2048
+    ffn_dim: int = 8192
+    freq_dim: int = 256
+    text_dim: int = 4096
+    out_dim: int = 16
+    num_heads: int = 16
+    num_layers: int = 32
+    window_size: Tuple[int, int] = (-1, -1)
+    qk_norm: bool = True
+    cross_attn_norm: bool = True
+    eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    def replace(self, **kw) -> "WanModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """3D causal VAE hyperparameters (ref: wan/modules/vae.py:592-616)."""
+
+    dim: int = 96
+    z_dim: int = 16
+    dim_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Tuple[float, ...] = ()
+    temporal_downsample: Tuple[bool, ...] = (False, True, True)
+
+    def replace(self, **kw) -> "VAEConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class T5Config:
+    """umT5-XXL encoder hyperparameters (ref: wan/modules/t5.py:456-469)."""
+
+    vocab_size: int = 256384
+    dim: int = 4096
+    dim_attn: int = 4096
+    dim_ffn: int = 10240
+    num_heads: int = 64
+    num_layers: int = 24
+    num_buckets: int = 32
+    shared_pos: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim_attn // self.num_heads
+
+    def replace(self, **kw) -> "T5Config":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level task config (ref: wan/configs/shared_config.py +
+    wan_t2v_14B.py)."""
+
+    name: str = "t2v-14B"
+    model: WanModelConfig = dataclasses.field(default_factory=WanModelConfig)
+    vae: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    t5: T5Config = dataclasses.field(default_factory=T5Config)
+    vae_stride: Tuple[int, int, int] = (4, 8, 8)
+    num_train_timesteps: int = 1000
+    sample_fps: int = 16
+    param_dtype: str = "bfloat16"
+    t5_dtype: str = "bfloat16"
+    # checkpoint file conventions within --ckpt_dir (parity with reference)
+    t5_checkpoint: str = "models_t5_umt5-xxl-enc-bf16.pth"
+    t5_tokenizer: str = "google/umt5-xxl"
+    vae_checkpoint: str = "Wan2.1_VAE.pth"
+    # default negative prompt (ref: wan/configs/shared_config.py:19)
+    sample_neg_prompt: str = (
+        "色调艳丽，过曝，静态，细节模糊不清，字幕，风格，作品，画作，画面，静止，"
+        "整体发灰，最差质量，低质量，JPEG压缩残留，丑陋的，残缺的，多余的手指，"
+        "画得不好的手部，画得不好的脸部，畸形的，毁容的，形态畸形的肢体，手指融合，"
+        "静止不动的画面，杂乱的背景，三条腿，背景人很多，倒着走"
+    )
+
+    @property
+    def jnp_param_dtype(self):
+        return jnp.dtype(self.param_dtype)
+
+    def replace(self, **kw) -> "PipelineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _t2v_14b() -> PipelineConfig:
+    # ref: wan/configs/wan_t2v_14B.py:19-29
+    return PipelineConfig(
+        name="t2v-14B",
+        model=WanModelConfig(
+            model_type="t2v",
+            patch_size=(1, 2, 2),
+            dim=5120,
+            ffn_dim=13824,
+            freq_dim=256,
+            num_heads=40,
+            num_layers=40,
+            qk_norm=True,
+            cross_attn_norm=True,
+            eps=1e-6,
+        ),
+    )
+
+
+def _t2v_1_3b() -> PipelineConfig:
+    # Wan2.1 1.3B shape (public Wan2.1 family config); used as the
+    # CPU-runnable small operating point (BASELINE.json config #1).
+    return PipelineConfig(
+        name="t2v-1.3B",
+        model=WanModelConfig(
+            model_type="t2v",
+            patch_size=(1, 2, 2),
+            dim=1536,
+            ffn_dim=8960,
+            freq_dim=256,
+            num_heads=12,
+            num_layers=30,
+            qk_norm=True,
+            cross_attn_norm=True,
+            eps=1e-6,
+        ),
+    )
+
+
+def _tiny_test() -> PipelineConfig:
+    """Miniature config for unit tests — same structure, trivial sizes."""
+    return PipelineConfig(
+        name="t2v-tiny",
+        model=WanModelConfig(
+            model_type="t2v",
+            patch_size=(1, 2, 2),
+            text_len=16,
+            in_dim=4,
+            dim=96,
+            ffn_dim=192,
+            freq_dim=32,
+            text_dim=32,
+            out_dim=4,
+            num_heads=4,
+            num_layers=2,
+        ),
+        vae=VAEConfig(dim=8, z_dim=4),
+        t5=T5Config(
+            vocab_size=128, dim=32, dim_attn=32, dim_ffn=64,
+            num_heads=4, num_layers=2,
+        ),
+    )
+
+
+WAN_CONFIGS = {
+    "t2v-14B": _t2v_14b(),
+    "t2i-14B": dataclasses.replace(_t2v_14b(), name="t2i-14B"),
+    "t2v-1.3B": _t2v_1_3b(),
+    "t2v-tiny": _tiny_test(),
+}
+
+# ref: wan/configs/__init__.py:18-31
+SIZE_CONFIGS = {
+    "1920*1056": (1920, 1056),
+    "1920*1072": (1920, 1072),
+    "1920*832": (1920, 832),
+    "1280*560": (1280, 560),
+    "560*1280": (560, 1280),
+    "1056*1920": (1056, 1920),
+    "832*1920": (832, 1920),
+    "720*1280": (720, 1280),
+    "1280*720": (1280, 720),
+    "480*832": (480, 832),
+    "832*480": (832, 480),
+    "1024*1024": (1024, 1024),
+}
+
+# ref: wan/configs/__init__.py:33-38
+MAX_AREA_CONFIGS = {
+    "720*1280": 720 * 1280,
+    "1280*720": 1280 * 720,
+    "480*832": 480 * 832,
+    "832*480": 832 * 480,
+}
+
+# ref: wan/configs/__init__.py:40-43
+SUPPORTED_SIZES = {
+    "t2v-14B": (
+        "720*1280", "1280*720", "480*832", "832*480", "1920*1056",
+        "1056*1920", "1920*832", "832*1920", "1920*1072", "1072*1920",
+        "1280*560", "560*1280",
+    ),
+    "t2v-1.3B": ("480*832", "832*480"),
+    "t2i-14B": tuple(SIZE_CONFIGS.keys()),
+}

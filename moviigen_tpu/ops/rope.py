@@ -1,0 +1,134 @@
+"""3D rotary position embeddings for video DiT tokens.
+
+Parity target: ``wan/modules/model.py:29-67`` (``rope_params`` /
+``rope_apply``). The reference builds complex-polar frequency tables in
+float64 and rotates q/k with a python loop over the batch. TPU-native
+design differences:
+
+- tables are precomputed **sin/cos** arrays in float32 (TPU has no fp64;
+  the max absolute phase error at position 1024 for theta=10000 is
+  ~1e-4 rad, far below bf16 activation noise — covered by a unit test);
+- the rotation is a fully vectorized even/odd channel rotate, jittable,
+  with no per-sample loop;
+- for sequence-parallel shards, the caller slices the flat table by the
+  shard's global token offset (replaces the reference's SP-aware
+  ``pad_freqs``/rank slicing, ``wan/distributed/xdit_context_parallel.py:24-62``).
+
+Channel layout matches the reference exactly: the head_dim ``d`` is split
+into complex pair groups ``(c - 2*(c//3), c//3, c//3)`` with ``c = d//2``
+for the (frame, height, width) axes (``model.py:44``, ctor split at
+``model.py:473-478`` uses ``d - 4*(d//6) == 2*(c - 2*(c//3))`` for even d),
+and pairs are interleaved (even channel = real, odd = imag), matching
+``torch.view_as_complex`` on ``[..., c, 2]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _axis_freqs(dim_pairs: int, theta: float = 10000.0,
+                max_pos: int = 1024) -> np.ndarray:
+    """Per-axis angular frequencies: outer(arange(max_pos), theta^(-2i/d)).
+
+    ``dim_pairs`` counts complex pairs; the reference's ``rope_params``
+    (model.py:29-36) passes the *real* dim and strides by 2 — equivalent.
+    """
+    inv = 1.0 / np.power(
+        theta, np.arange(0, dim_pairs, dtype=np.float64) / dim_pairs)
+    return np.outer(np.arange(max_pos, dtype=np.float64), inv)
+
+
+def rope_pair_split(head_dim: int) -> Tuple[int, int, int]:
+    """Complex-pair split (t, h, w) of a head. ref model.py:44."""
+    c = head_dim // 2
+    return (c - 2 * (c // 3), c // 3, c // 3)
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeTables:
+    """Flattened per-token rotation tables for an (F, H, W) token grid.
+
+    cos/sin: [F*H*W, head_dim//2] float32.
+    """
+
+    cos: jnp.ndarray
+    sin: jnp.ndarray
+
+    @property
+    def seq_len(self) -> int:
+        return self.cos.shape[0]
+
+    def slice(self, start: int, size: int) -> "RopeTables":
+        """Shard view for sequence-parallel ranks (global token offset)."""
+        return RopeTables(
+            cos=jnp.asarray(self.cos)[start:start + size],
+            sin=jnp.asarray(self.sin)[start:start + size],
+        )
+
+
+def rope_3d_freqs(grid: Tuple[int, int, int], head_dim: int,
+                  theta: float = 10000.0, max_pos: int = 1024) -> RopeTables:
+    """Build flattened [L, c] cos/sin tables for a (F, H, W) patch grid.
+
+    Equivalent to the reference's per-sample ``freqs_i`` assembly
+    (model.py:54-59): f-axis frequencies broadcast over (h, w), h-axis over
+    (f, w), w-axis over (f, h), concatenated along the channel axis in
+    (t, h, w) order, then flattened to [F*H*W, c].
+    """
+    f, h, w = grid
+    ct, ch, cw = rope_pair_split(head_dim)
+
+    ang_t = _axis_freqs(ct, theta, max_pos)[:f]  # [f, ct]
+    ang_h = _axis_freqs(ch, theta, max_pos)[:h]  # [h, ch]
+    ang_w = _axis_freqs(cw, theta, max_pos)[:w]  # [w, cw]
+
+    ang = np.concatenate(
+        [
+            np.broadcast_to(ang_t[:, None, None, :], (f, h, w, ct)),
+            np.broadcast_to(ang_h[None, :, None, :], (f, h, w, ch)),
+            np.broadcast_to(ang_w[None, None, :, :], (f, h, w, cw)),
+        ],
+        axis=-1,
+    ).reshape(f * h * w, ct + ch + cw)
+
+    return RopeTables(
+        cos=jnp.asarray(np.cos(ang), dtype=jnp.float32),
+        sin=jnp.asarray(np.sin(ang), dtype=jnp.float32),
+    )
+
+
+def rope_apply(x: jnp.ndarray, tables: RopeTables) -> jnp.ndarray:
+    """Rotate interleaved channel pairs of ``x`` by the per-token tables.
+
+    Args:
+        x: [B, L, N, D] query/key tensor (any float dtype).
+        tables: cos/sin of shape [L', D//2] with L' >= positions covered;
+            if L > L' (sequence padded beyond the token grid), the excess
+            positions pass through unrotated — matching ref model.py:63
+            (``torch.cat([x_i, x[i, seq_len:]])``).
+
+    Returns:
+        Rotated tensor in float32 (ref returns ``.float()``, model.py:67).
+    """
+    b, l, n, d = x.shape
+    xf = x.astype(jnp.float32)
+    xr = xf[..., 0::2]  # [B, L, N, D/2] real parts
+    xi = xf[..., 1::2]  # imag parts
+
+    lr = min(l, tables.seq_len)
+    cos = tables.cos[:lr][None, :, None, :]  # [1, lr, 1, D/2]
+    sin = tables.sin[:lr][None, :, None, :]
+
+    or_ = xr[:, :lr] * cos - xi[:, :lr] * sin
+    oi_ = xr[:, :lr] * sin + xi[:, :lr] * cos
+
+    # re-interleave pairs: [..., D/2, 2] -> [..., D]
+    rot = jnp.stack([or_, oi_], axis=-1).reshape(b, lr, n, d)
+    if lr < l:
+        rot = jnp.concatenate([rot, xf[:, lr:]], axis=1)
+    return rot
