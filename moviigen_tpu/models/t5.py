@@ -1,0 +1,201 @@
+"""umT5-XXL text encoder — TPU-native JAX implementation.
+
+Parity target: ``wan/modules/t5.py`` (T5Encoder with per-layer relative
+position bias, ``shared_pos=False``, encoder-only umT5-XXL: 24 layers,
+dim 4096, ffn 10240 GEGLU, 64 heads, vocab 256384).
+
+TPU-native notes:
+- blocks are **stacked and scanned** (per-layer rel-pos embeddings stack
+  too, since every layer owns one — t5.py:167-168);
+- the relative-position *bucket* matrix depends only on (Lq, Lk), both
+  static under jit — computed once in numpy and closed over;
+- attention has no √d scaling (t5.py:111-112) and computes softmax in
+  fp32;
+- dropout omitted (inference; the reference encoder is eval-only in every
+  entry point).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import T5Config
+from ..ops.norms import t5_rms_norm
+
+Params = Dict[str, Any]
+
+
+def relative_position_buckets(lq: int, lk: int, num_buckets: int = 32,
+                              max_dist: int = 128,
+                              bidirectional: bool = True) -> np.ndarray:
+    """Log-bucketed relative positions (ref T5RelativeEmbedding,
+    t5.py:245-264). Returns [lq, lk] int32 bucket ids."""
+    rel_pos = np.arange(lk)[None, :] - np.arange(lq)[:, None]
+    if bidirectional:
+        nb = num_buckets // 2
+        rel_buckets = (rel_pos > 0).astype(np.int64) * nb
+        rel_pos = np.abs(rel_pos)
+    else:
+        nb = num_buckets
+        rel_buckets = np.zeros_like(rel_pos)
+        rel_pos = -np.minimum(rel_pos, 0)
+    max_exact = nb // 2
+    with np.errstate(divide="ignore"):
+        rel_large = max_exact + (
+            np.log(np.maximum(rel_pos, 1) / max_exact)
+            / math.log(max_dist / max_exact) * (nb - max_exact)
+        ).astype(np.int64)
+    rel_large = np.minimum(rel_large, nb - 1)
+    rel_buckets = rel_buckets + np.where(rel_pos < max_exact, rel_pos,
+                                         rel_large)
+    return rel_buckets.astype(np.int32)
+
+
+def _attn(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
+          pos_bias: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
+    """T5Attention (ref t5.py:69-120): einsum attention with additive
+    position bias, no QK scaling, fp32 softmax."""
+    b, l, _ = x.shape
+    n, dh = cfg.num_heads, cfg.head_dim
+    q = jnp.matmul(x, p["q"]).reshape(b, l, n, dh)
+    k = jnp.matmul(x, p["k"]).reshape(b, l, n, dh)
+    v = jnp.matmul(x, p["v"]).reshape(b, l, n, dh)
+
+    logits = jnp.einsum("binc,bjnc->bnij", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits + pos_bias.astype(jnp.float32)
+    if mask is not None:
+        keymask = mask[:, None, None, :] != 0
+        logits = jnp.where(keymask, logits, jnp.float32(-3.4e38))
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bnij,bjnc->binc", probs, v)
+    return jnp.matmul(out.reshape(b, l, n * dh), p["o"])
+
+
+def _ffn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """GEGLU feed-forward: fc1(x)·gelu_tanh(gate(x)) (ref t5.py:123-141)."""
+    gate = jax.nn.gelu(jnp.matmul(x, p["gate"]), approximate=True)
+    h = jnp.matmul(x, p["fc1"]) * gate
+    return jnp.matmul(h, p["fc2"])
+
+
+def encode(params: Params, ids: jnp.ndarray, mask: Optional[jnp.ndarray],
+           cfg: T5Config) -> jnp.ndarray:
+    """T5Encoder forward (ref t5.py:303-312). ids/mask: [B, L] →
+    embeddings [B, L, dim] in the embedding dtype."""
+    lq = lk = ids.shape[1]
+    buckets = jnp.asarray(relative_position_buckets(
+        lq, lk, cfg.num_buckets, bidirectional=True))  # [L, L]
+
+    x = jnp.take(params["token_embedding"], ids, axis=0)
+
+    def body(carry, bp):
+        x = carry
+        # per-layer rel-pos bias: embedding [num_buckets, heads] → [1,N,L,L]
+        e = jnp.take(bp["pos_embedding"], buckets, axis=0)  # [L, L, N]
+        e = e.transpose(2, 0, 1)[None]
+        h = t5_rms_norm(x, bp["norm1"]["weight"])
+        x = x + _attn(bp["attn"], h, mask, e, cfg)
+        h = t5_rms_norm(x, bp["norm2"]["weight"])
+        x = x + _ffn(bp["ffn"], h)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return t5_rms_norm(x, params["norm"]["weight"])
+
+
+# --------------------------------------------------------------------------
+# init / conversion
+# --------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
+    """Random init mirroring ref ``init_weights`` (t5.py:27-43)."""
+    keys = iter(jax.random.split(key, 8))
+    d, da, df = cfg.dim, cfg.dim_attn, cfg.dim_ffn
+
+    def blk(k):
+        ks = iter(jax.random.split(k, 8))
+        return {
+            "norm1": {"weight": jnp.ones((d,), dtype)},
+            "attn": {
+                "q": (d * da) ** -0.5 * jax.random.normal(
+                    next(ks), (d, da), dtype),
+                "k": d ** -0.5 * jax.random.normal(next(ks), (d, da), dtype),
+                "v": d ** -0.5 * jax.random.normal(next(ks), (d, da), dtype),
+                "o": (cfg.num_heads * cfg.head_dim) ** -0.5
+                * jax.random.normal(next(ks), (da, d), dtype),
+            },
+            "norm2": {"weight": jnp.ones((d,), dtype)},
+            "ffn": {
+                "gate": d ** -0.5 * jax.random.normal(next(ks), (d, df), dtype),
+                "fc1": d ** -0.5 * jax.random.normal(next(ks), (d, df), dtype),
+                "fc2": df ** -0.5 * jax.random.normal(next(ks), (df, d), dtype),
+            },
+            "pos_embedding": (2 * cfg.num_buckets * cfg.num_heads) ** -0.5
+            * jax.random.normal(next(ks), (cfg.num_buckets, cfg.num_heads),
+                                jnp.float32),
+        }
+
+    blocks = jax.vmap(blk)(jax.random.split(next(keys), cfg.num_layers))
+    return {
+        "token_embedding": jax.random.normal(
+            next(keys), (cfg.vocab_size, d), dtype),
+        "blocks": blocks,
+        "norm": {"weight": jnp.ones((d,), dtype)},
+    }
+
+
+def convert_t5_state_dict(sd, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
+    """Torch T5Encoder state dict → stacked pytree. Linear weights [O,I]
+    transpose to [I,O]; per-layer tensors stack along a leading axis."""
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]), dtype).T
+
+    def stack(fmt, conv=t):
+        return jnp.stack([conv(fmt.format(i)) for i in range(cfg.num_layers)])
+
+    def stack_raw(fmt, dt):
+        return jnp.stack([
+            jnp.asarray(np.asarray(sd[fmt.format(i)]), dt)
+            for i in range(cfg.num_layers)])
+
+    blocks = {
+        "norm1": {"weight": stack_raw("blocks.{}.norm1.weight", dtype)},
+        "attn": {
+            "q": stack("blocks.{}.attn.q.weight"),
+            "k": stack("blocks.{}.attn.k.weight"),
+            "v": stack("blocks.{}.attn.v.weight"),
+            "o": stack("blocks.{}.attn.o.weight"),
+        },
+        "norm2": {"weight": stack_raw("blocks.{}.norm2.weight", dtype)},
+        "ffn": {
+            "gate": stack("blocks.{}.ffn.gate.0.weight"),
+            "fc1": stack("blocks.{}.ffn.fc1.weight"),
+            "fc2": stack("blocks.{}.ffn.fc2.weight"),
+        },
+        "pos_embedding": stack_raw(
+            "blocks.{}.pos_embedding.embedding.weight", jnp.float32),
+    }
+    return {
+        "token_embedding": jnp.asarray(
+            np.asarray(sd["token_embedding.weight"]), dtype),
+        "blocks": blocks,
+        "norm": {"weight": jnp.asarray(np.asarray(sd["norm.weight"]), dtype)},
+    }
+
+
+def load_t5_checkpoint(path: str, cfg: T5Config,
+                       dtype=jnp.bfloat16) -> Params:
+    """Load ``models_t5_umt5-xxl-enc-bf16.pth`` → pytree. Requires torch."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.float().numpy() for k, v in sd.items()}
+    return convert_t5_state_dict(sd, cfg, dtype)

@@ -1,0 +1,429 @@
+"""WanModel — the Wan2.1/MoviiGen 14B diffusion transformer, TPU-native.
+
+Parity target: ``wan/modules/model.py`` (WanModel, WanAttentionBlock, Head,
+sinusoidal_embedding_1d). Architecture: 3D patch-embed → ``num_layers``
+AdaLN-modulated blocks (self-attn with 3D RoPE, text cross-attn, GELU-tanh
+FFN) → 2-way-modulated head → unpatchify.
+
+TPU-native design decisions (vs the torch reference):
+
+- **One model definition.** The reference maintains three forks (inference
+  model.py, training model_seq.py, USP monkey-patches). Here parallelism is
+  applied around this single functional forward (see ``parallel/``).
+- **Stacked block parameters + ``lax.scan``** over layers: one compiled
+  block body instead of 40 unrolled, natural remat boundary, and leading
+  layer axis for FSDP-style sharding.
+- **Patch embedding as a reshaped matmul**: the reference uses Conv3d with
+  kernel==stride (model.py:445-450); for non-overlapping patches this is
+  exactly a reshape + one large MXU matmul.
+- **Fixed padded ``[B, L, C]`` tensors** with static shapes instead of
+  list-of-videos python padding (model.py:529-538) — jit-friendly; the
+  padding semantics (zero-pad tokens to ``seq_len``, mask keys beyond the
+  true length) are identical.
+- **Explicit fp32 islands** replacing autocast: time embeddings, AdaLN
+  modulation arithmetic, norm statistics, the residual stream, and the
+  head all run in fp32 exactly where the reference pins fp32
+  (model.py:292-302, 307-309, 340-343, 541-545); matmul inputs are cast
+  to the param dtype (bf16).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import WanModelConfig
+from ..ops.attention import attention
+from ..ops.norms import layer_norm, rms_norm
+from ..ops.rope import RopeTables, rope_apply
+
+Params = Dict[str, Any]
+
+
+# --------------------------------------------------------------------------
+# initialization
+# --------------------------------------------------------------------------
+
+
+def _xavier(key, shape, dtype):
+    fan_in, fan_out = shape[0], shape[1]
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _linear(key, d_in, d_out, dtype, init="xavier", std=0.02, zero=False):
+    kkey, _ = jax.random.split(key)
+    if zero:
+        kernel = jnp.zeros((d_in, d_out), dtype)
+    elif init == "normal":
+        kernel = std * jax.random.normal(kkey, (d_in, d_out), dtype)
+    else:
+        kernel = _xavier(kkey, (d_in, d_out), dtype)
+    return {"kernel": kernel, "bias": jnp.zeros((d_out,), dtype)}
+
+
+def init_params(key: jax.Array, cfg: WanModelConfig,
+                dtype=jnp.bfloat16) -> Params:
+    """Random initialization mirroring ``WanModel.init_weights``
+    (model.py:611-633): xavier linears, std-0.02 text/time embeddings,
+    zero-init head."""
+    keys = iter(jax.random.split(key, 64))
+    d, fd = cfg.dim, cfg.ffn_dim
+    patch_in = cfg.in_dim * int(np.prod(cfg.patch_size))
+
+    def block_init(bkey):
+        bk = iter(jax.random.split(bkey, 16))
+
+        def attn(k1):
+            ks = iter(jax.random.split(k1, 8))
+            p = {
+                "q": _linear(next(ks), d, d, dtype),
+                "k": _linear(next(ks), d, d, dtype),
+                "v": _linear(next(ks), d, d, dtype),
+                "o": _linear(next(ks), d, d, dtype),
+            }
+            if cfg.qk_norm:
+                p["norm_q"] = {"scale": jnp.ones((d,), jnp.float32)}
+                p["norm_k"] = {"scale": jnp.ones((d,), jnp.float32)}
+            return p
+
+        p = {
+            "self_attn": attn(next(bk)),
+            "cross_attn": attn(next(bk)),
+            "ffn": {
+                "fc1": _linear(next(bk), d, fd, dtype),
+                "fc2": _linear(next(bk), fd, d, dtype),
+            },
+            # ref model.py:272: randn(1, 6, dim)/sqrt(dim), fp32
+            "modulation": jax.random.normal(
+                next(bk), (6, d), jnp.float32) / math.sqrt(d),
+        }
+        if cfg.cross_attn_norm:
+            p["norm3"] = {"scale": jnp.ones((d,), jnp.float32),
+                          "bias": jnp.zeros((d,), jnp.float32)}
+        return p
+
+    num_l = cfg.num_layers
+    blocks = jax.vmap(block_init)(jax.random.split(next(keys), num_l))
+
+    params: Params = {
+        "patch_embedding": _linear(next(keys), patch_in, d, dtype),
+        "text_embedding": {
+            "fc1": _linear(next(keys), cfg.text_dim, d, dtype,
+                           init="normal"),
+            "fc2": _linear(next(keys), d, d, dtype, init="normal"),
+        },
+        "time_embedding": {
+            "fc1": _linear(next(keys), cfg.freq_dim, d, jnp.float32,
+                           init="normal"),
+            "fc2": _linear(next(keys), d, d, jnp.float32, init="normal"),
+        },
+        "time_projection": {
+            "fc": _linear(next(keys), d, d * 6, jnp.float32),
+        },
+        "blocks": blocks,
+        "head": {
+            "head": _linear(next(keys), d,
+                            int(np.prod(cfg.patch_size)) * cfg.out_dim,
+                            jnp.float32, zero=True),
+            "modulation": jax.random.normal(
+                next(keys), (2, d), jnp.float32) / math.sqrt(d),
+        },
+    }
+    if cfg.model_type == "i2v":
+        ks = iter(jax.random.split(next(keys), 4))
+        params["img_emb"] = {
+            "norm1": {"scale": jnp.ones((1280,), jnp.float32),
+                      "bias": jnp.zeros((1280,), jnp.float32)},
+            "fc1": _linear(next(ks), 1280, 1280, dtype),
+            "fc2": _linear(next(ks), 1280, d, dtype),
+            "norm2": {"scale": jnp.ones((d,), jnp.float32),
+                      "bias": jnp.zeros((d,), jnp.float32)},
+        }
+    return params
+
+
+# --------------------------------------------------------------------------
+# building blocks
+# --------------------------------------------------------------------------
+
+
+def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
+    """x @ kernel + bias, casting x to the kernel dtype (autocast analog).
+
+    fp32 matmuls use HIGHEST precision — on TPU the default lowers fp32
+    matmuls to bf16 passes, which would silently break the reference's
+    fp32 islands (time embed / head)."""
+    k = p["kernel"]
+    if dtype is not None:
+        k = k.astype(dtype)
+        x = x.astype(dtype)
+    else:
+        x = x.astype(k.dtype)
+    prec = jax.lax.Precision.HIGHEST if k.dtype == jnp.float32 else None
+    return jnp.matmul(x, k, precision=prec) + p["bias"].astype(k.dtype)
+
+
+def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
+    """[cos | sin] sinusoidal embedding (ref model.py:15-25; fp64 there,
+    fp32 here — difference is below bf16 noise, unit-tested)."""
+    half = dim // 2
+    pos = position.astype(jnp.float32)
+    freqs = jnp.power(
+        jnp.float32(10000.0),
+        -jnp.arange(half, dtype=jnp.float32) / half)
+    sinusoid = pos[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(sinusoid), jnp.sin(sinusoid)], axis=1)
+
+
+def _qkv_heads(x, num_heads):
+    b, l, d = x.shape
+    return x.reshape(b, l, num_heads, d // num_heads)
+
+
+def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
+                   rope: RopeTables, k_lens: Optional[jnp.ndarray],
+                   compute_dtype, attn_backend: str,
+                   attn_fn=None) -> jnp.ndarray:
+    """WanSelfAttention (ref model.py:102-156): full-dim RMS qk-norm,
+    3D RoPE on q/k, non-causal attention with key-length masking."""
+    q = _dense(p["q"], x, compute_dtype)
+    k = _dense(p["k"], x, compute_dtype)
+    v = _dense(p["v"], x, compute_dtype)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
+        k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
+    q = _qkv_heads(q, cfg.num_heads)
+    k = _qkv_heads(k, cfg.num_heads)
+    v = _qkv_heads(v, cfg.num_heads)
+    q = rope_apply(q, rope)
+    k = rope_apply(k, rope)
+    if attn_fn is None:
+        out = attention(q, k, v, k_lens=k_lens, backend=attn_backend,
+                        compute_dtype=compute_dtype)
+    else:
+        out = attn_fn(q, k, v, k_lens)
+    b, l = out.shape[:2]
+    return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
+
+
+def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
+                    cfg: WanModelConfig, compute_dtype,
+                    attn_backend: str) -> jnp.ndarray:
+    """WanT2VCrossAttention (ref model.py:159-181). The reference passes
+    ``context_lens=None`` at runtime (model.py:548) so no key mask —
+    zero-padded text tokens are attended to after the text MLP; we keep
+    that exact behavior."""
+    q = _dense(p["q"], x, compute_dtype)
+    k = _dense(p["k"], context, compute_dtype)
+    v = _dense(p["v"], context, compute_dtype)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
+        k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
+    q = _qkv_heads(q, cfg.num_heads)
+    k = _qkv_heads(k, cfg.num_heads)
+    v = _qkv_heads(v, cfg.num_heads)
+    out = attention(q, k, v, k_lens=None, backend=attn_backend,
+                    compute_dtype=compute_dtype)
+    b, l = out.shape[:2]
+    return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
+
+
+def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
+                        cfg: WanModelConfig, compute_dtype,
+                        attn_backend: str) -> jnp.ndarray:
+    """WanI2VCrossAttention (ref model.py:184-225): first 257 context
+    tokens are CLIP image tokens with their own k/v projections; outputs
+    are summed before the output projection."""
+    ctx_img = context[:, :257]
+    ctx_txt = context[:, 257:]
+    q = _dense(p["q"], x, compute_dtype)
+    if cfg.qk_norm:
+        q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
+    q = _qkv_heads(q, cfg.num_heads)
+
+    def kv(pk, pv, norm_k, ctx):
+        k = _dense(pk, ctx, compute_dtype)
+        if norm_k is not None:
+            k = rms_norm(k, norm_k["scale"], eps=cfg.eps)
+        v = _dense(pv, ctx, compute_dtype)
+        return _qkv_heads(k, cfg.num_heads), _qkv_heads(v, cfg.num_heads)
+
+    k_t, v_t = kv(p["k"], p["v"], p.get("norm_k"), ctx_txt)
+    k_i, v_i = kv(p["k_img"], p["v_img"], p.get("norm_k_img"), ctx_img)
+    out_t = attention(q, k_t, v_t, backend=attn_backend,
+                      compute_dtype=compute_dtype)
+    out_i = attention(q, k_i, v_i, backend=attn_backend,
+                      compute_dtype=compute_dtype)
+    out = out_t + out_i
+    b, l = out.shape[:2]
+    return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
+
+
+def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
+                    context: jnp.ndarray, cfg: WanModelConfig,
+                    rope: RopeTables, k_lens: Optional[jnp.ndarray],
+                    compute_dtype, attn_backend: str,
+                    self_attn_fn=None) -> jnp.ndarray:
+    """WanAttentionBlock forward (ref model.py:274-313).
+
+    ``x`` is the fp32 residual stream; matmul inputs are cast to
+    ``compute_dtype``; all modulation arithmetic stays fp32 (ref asserts
+    e.dtype == float32, model.py:292-302).
+    """
+    # e: [B, 6, C] fp32; per-block modulation parameter added (model.py:294)
+    e = (bp["modulation"].astype(jnp.float32)[None] + e0)
+    e = [e[:, i][:, None, :] for i in range(6)]  # six [B, 1, C]
+
+    # self-attention with AdaLN scale/shift (model.py:298-302)
+    xm = layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[1]) + e[0]
+    y = self_attention(bp["self_attn"], xm, cfg, rope, k_lens,
+                       compute_dtype, attn_backend, attn_fn=self_attn_fn)
+    x = x + y.astype(jnp.float32) * e[2]
+
+    # cross-attention (model.py:305-306)
+    if cfg.cross_attn_norm:
+        xc = layer_norm(x, bp["norm3"]["scale"], bp["norm3"]["bias"],
+                        eps=1e-6, keep_fp32=True)
+    else:
+        xc = x
+    if cfg.model_type == "i2v":
+        ca = i2v_cross_attention(bp["cross_attn"], xc, context, cfg,
+                                 compute_dtype, attn_backend)
+    else:
+        ca = cross_attention(bp["cross_attn"], xc, context, cfg,
+                             compute_dtype, attn_backend)
+    x = x + ca.astype(jnp.float32)
+
+    # FFN with AdaLN (model.py:307-309)
+    xf = layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[4]) + e[3]
+    h = _dense(bp["ffn"]["fc1"], xf, compute_dtype)
+    h = jax.nn.gelu(h, approximate=True)  # GELU-tanh (model.py:268)
+    y = _dense(bp["ffn"]["fc2"], h, compute_dtype)
+    x = x + y.astype(jnp.float32) * e[5]
+    return x
+
+
+# --------------------------------------------------------------------------
+# full forward
+# --------------------------------------------------------------------------
+
+
+def patchify(x: jnp.ndarray, patch_size) -> jnp.ndarray:
+    """[B, C, F, H, W] → [B, L, C·pt·ph·pw] token sequence.
+
+    Equivalent to the reference's stride==kernel Conv3d (model.py:529)
+    followed by flatten(2).transpose(1,2), expressed as a reshape so the
+    embedding becomes a single MXU matmul. Channel ordering inside a patch
+    matches Conv3d weight layout [C, pt, ph, pw] flattened.
+    """
+    b, c, f, h, w = x.shape
+    pt, ph, pw = patch_size
+    x = x.reshape(b, c, f // pt, pt, h // ph, ph, w // pw, pw)
+    # → [B, F', H', W', C, pt, ph, pw]
+    x = x.transpose(0, 2, 4, 6, 1, 3, 5, 7)
+    return x.reshape(b, (f // pt) * (h // ph) * (w // pw), c * pt * ph * pw)
+
+
+def unpatchify(x: jnp.ndarray, grid, patch_size, out_dim: int) -> jnp.ndarray:
+    """[B, L, pt·ph·pw·c] → [B, c, F, H, W] (ref model.py:581-609,
+    einsum 'fhwpqrc->cfphqwr')."""
+    b = x.shape[0]
+    f, h, w = grid
+    pt, ph, pw = patch_size
+    x = x[:, : f * h * w]
+    x = x.reshape(b, f, h, w, pt, ph, pw, out_dim)
+    x = jnp.einsum("bfhwpqrc->bcfphqwr", x)
+    return x.reshape(b, out_dim, f * pt, h * ph, w * pw)
+
+
+def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
+            context: jnp.ndarray, cfg: WanModelConfig, rope: RopeTables,
+            seq_len: Optional[int] = None,
+            compute_dtype=jnp.bfloat16,
+            attn_backend: str = "auto",
+            remat: bool = False,
+            clip_fea: Optional[jnp.ndarray] = None,
+            y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Denoising forward pass (ref WanModel.forward, model.py:486-579).
+
+    Args:
+        params: parameter pytree from ``init_params`` or the converter.
+        x: [B, C_in, F, H, W] noisy latents (fp32).
+        t: [B] diffusion timesteps.
+        context: [B, text_len, text_dim] zero-padded text embeddings
+            (the reference pads to text_len before the text MLP,
+            model.py:549-554).
+        rope: RopeTables for the (F/pt, H/ph, W/pw) grid (full sequence).
+        seq_len: pad the token sequence to this length (ref model.py:535-538);
+            defaults to the exact grid length.
+        remat: rematerialize each block (training).
+        clip_fea: [B, 257, 1280] CLIP features (i2v only).
+        y: [B, C_y, F, H, W] conditioning video (i2v only; channel-concat,
+            ref model.py:523-524).
+
+    Returns:
+        [B, C_out, F, H, W] prediction in fp32.
+    """
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=1)
+
+    b = x.shape[0]
+    pt, ph, pw = cfg.patch_size
+    grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
+    tokens = grid[0] * grid[1] * grid[2]
+
+    # patch embedding (single matmul)
+    xt = patchify(x, cfg.patch_size)
+    xt = _dense(params["patch_embedding"], xt, compute_dtype)
+
+    k_lens = None
+    if seq_len is not None and seq_len > tokens:
+        xt = jnp.pad(xt, ((0, 0), (0, seq_len - tokens), (0, 0)))
+        k_lens = jnp.full((b,), tokens, jnp.int32)
+
+    # time embeddings — fp32 island (ref model.py:541-545)
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t)
+    e = _dense(params["time_embedding"]["fc1"], emb, jnp.float32)
+    e = jax.nn.silu(e)
+    e = _dense(params["time_embedding"]["fc2"], e, jnp.float32)
+    e0 = _dense(params["time_projection"]["fc"], jax.nn.silu(e), jnp.float32)
+    e0 = e0.reshape(b, 6, cfg.dim)
+
+    # text embedding MLP (ref model.py:549-554)
+    ctx = _dense(params["text_embedding"]["fc1"], context, compute_dtype)
+    ctx = jax.nn.gelu(ctx, approximate=True)
+    ctx = _dense(params["text_embedding"]["fc2"], ctx, compute_dtype)
+
+    if clip_fea is not None:
+        # MLPProj (ref model.py:346-358): LN → Linear → GELU → Linear → LN
+        ie = params["img_emb"]
+        ci = layer_norm(clip_fea, ie["norm1"]["scale"], ie["norm1"]["bias"])
+        ci = _dense(ie["fc1"], ci, compute_dtype)
+        ci = jax.nn.gelu(ci, approximate=False)
+        ci = _dense(ie["fc2"], ci, compute_dtype)
+        ci = layer_norm(ci, ie["norm2"]["scale"], ie["norm2"]["bias"])
+        ctx = jnp.concatenate([ci.astype(ctx.dtype), ctx], axis=1)
+
+    # block stack — fp32 residual stream, scanned over stacked params
+    xr = xt.astype(jnp.float32)
+
+    def body(carry, bp):
+        out = attention_block(bp, carry, e0, ctx, cfg, rope, k_lens,
+                              compute_dtype, attn_backend)
+        return out, None
+
+    body_fn = jax.checkpoint(body) if remat else body
+    xr, _ = jax.lax.scan(body_fn, xr, params["blocks"])
+
+    # head (ref model.py:316-343; all-fp32 modulated projection)
+    hm = params["head"]["modulation"].astype(jnp.float32)[None] + e[:, None, :]
+    xh = layer_norm(xr, eps=1e-6, keep_fp32=True) \
+        * (1 + hm[:, 1][:, None, :]) + hm[:, 0][:, None, :]
+    out = _dense(params["head"]["head"], xh, jnp.float32)
+
+    return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)

@@ -37,7 +37,7 @@ def t5_rms_norm(x: jnp.ndarray, weight: jnp.ndarray,
     normalized activation is cast to the *weight* dtype (half precision)
     before scaling."""
     var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    normed = x * lax.rsqrt(var + eps).astype(x.dtype)
+    normed = x * lax.rsqrt(var + eps)  # promotes to fp32 (ref t5.py:62)
     if weight.dtype in (jnp.float16, jnp.bfloat16):
         normed = normed.astype(weight.dtype)
     return weight * normed

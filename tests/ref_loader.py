@@ -1,0 +1,97 @@
+"""Load reference (PyTorch) modules from /root/reference as standalone
+test oracles, stubbing their unavailable dependencies (diffusers,
+flash-attn, ftfy). Tests using these helpers skip when the reference tree
+is absent."""
+
+import importlib.util
+import os
+import sys
+import types
+
+REF = "/root/reference"
+
+
+def ref_available() -> bool:
+    return os.path.isdir(os.path.join(REF, "wan", "modules"))
+
+
+def _load(name: str, path: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_vae():
+    return _load("ref_vae", os.path.join(REF, "wan/modules/vae.py"))
+
+
+def _stub_diffusers():
+    import torch.nn as nn
+
+    if "diffusers" in sys.modules:
+        return
+    diffusers = types.ModuleType("diffusers")
+    cu = types.ModuleType("diffusers.configuration_utils")
+    mu = types.ModuleType("diffusers.models")
+    mmu = types.ModuleType("diffusers.models.modeling_utils")
+
+    class ConfigMixin:
+        pass
+
+    def register_to_config(fn):
+        return fn
+
+    cu.ConfigMixin = ConfigMixin
+    cu.register_to_config = register_to_config
+    mmu.ModelMixin = nn.Module
+    diffusers.configuration_utils = cu
+    diffusers.models = mu
+    mu.modeling_utils = mmu
+    sys.modules["diffusers"] = diffusers
+    sys.modules["diffusers.configuration_utils"] = cu
+    sys.modules["diffusers.models"] = mu
+    sys.modules["diffusers.models.modeling_utils"] = mmu
+
+
+def load_ref_model():
+    """Reference WanModel runnable on CPU: diffusers stubbed, the
+    flash-attention call patched to the module's own fp32 SDPA fallback."""
+    import torch
+
+    _stub_diffusers()
+    attn = _load("ref_attention",
+                 os.path.join(REF, "wan/modules/attention.py"))
+
+    def cpu_flash_attention(q, k, v, q_lens=None, k_lens=None, **kw):
+        return attn.attention(q, k, v, q_lens=None, k_lens=None,
+                              dtype=torch.float32)
+
+    attn.flash_attention = cpu_flash_attention
+
+    # model.py does `from .attention import flash_attention`; loading it as
+    # a plain module needs the import rewritten to absolute.
+    path = os.path.join(REF, "wan/modules/model.py")
+    src = open(path).read().replace(
+        "from .attention import flash_attention",
+        "from ref_attention import flash_attention")
+    mod = types.ModuleType("ref_model")
+    mod.__file__ = path
+    sys.modules["ref_model"] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
+def load_ref_t5():
+    """Reference T5 runnable on CPU: tokenizers import stubbed out."""
+    path = os.path.join(REF, "wan/modules/t5.py")
+    src = open(path).read().replace(
+        "from .tokenizers import HuggingfaceTokenizer",
+        "HuggingfaceTokenizer = None").replace(
+        "torch.cuda.current_device()", "'cpu'")  # default-arg eval on import
+    mod = types.ModuleType("ref_t5")
+    mod.__file__ = path
+    sys.modules["ref_t5"] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
