@@ -1,0 +1,100 @@
+"""Headline benchmark: sec per CFG denoise step on one TPU chip.
+
+Workload: Wan-family DiT denoise step — one CFG-guided model evaluation
+(cond + uncond batched, B=2) at 480x832, 81 frames (latent 21x60x104 →
+32,760 tokens; formula ref wan/text2video.py:160-166), Pallas flash
+attention, bf16 params.
+
+Config auto-selects by HBM: the 14B flagship needs ≥28 GB for bf16
+params (runs sharded on pods); a single v5e (16 GB) benches the 1.3B
+operating point (BASELINE.json config #1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is per-chip step throughput vs the A100 PyTorch reference —
+no published number exists (BASELINE.md), so we report the ratio against
+an A100 roofline estimate for the same workload (bf16 312 TFLOPs, 60%
+MFU ≈ upper bound of the reference stack).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    dev = jax.devices()[0]
+    hbm_gb = None
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            hbm_gb = stats.get("bytes_limit", 0) / 1e9
+    except Exception:
+        pass
+    big = hbm_gb is not None and hbm_gb > 40
+    task = "t2v-14B" if big else "t2v-1.3B"
+    cfg = WAN_CONFIGS[task].model
+
+    # 480x832 @ 81 frames → latent (F',H',W') = (21, 60, 104) → 32,760 tok
+    grid = (21, 30, 52)
+    tokens = grid[0] * grid[1] * grid[2]
+    lat_shape = (1, cfg.in_dim, 21, 60, 104)
+
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.bfloat16)
+    rope = rope_3d_freqs(grid, cfg.head_dim)
+
+    def denoise_step(params, x, t, ctx):
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        pred = wan_model.forward(params, x2, t2, ctx, cfg, rope,
+                                 attn_backend="pallas")
+        return pred[1:] + 5.0 * (pred[:1] - pred[1:])
+
+    step = jax.jit(denoise_step)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(lat_shape),
+                    jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.zeros((2, cfg.text_len, cfg.text_dim), jnp.bfloat16)
+
+    out = step(params, x, t, ctx)
+    out.block_until_ready()  # compile + warmup
+
+    n_iter = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = step(params, x, t, ctx)
+    out.block_until_ready()
+    sec_per_step = (time.perf_counter() - t0) / n_iter
+
+    # FLOPs per CFG step (2 model evals): linear 2·2·P_block·L plus
+    # attention 4·L²·D per layer (QK^T + PV, fwd).
+    d, ffn, layers = cfg.dim, cfg.ffn_dim, cfg.num_layers
+    per_layer_lin = 4 * d * d + 2 * d * ffn + 2 * d * d  # qkvo + ffn + xattn kv approx
+    flops_lin = 2 * 2 * layers * per_layer_lin * tokens
+    flops_attn = 2 * 4 * tokens * tokens * d * layers
+    total_flops = flops_lin + flops_attn
+
+    # A100 roofline for the same workload: 312 bf16 TFLOPs at 60% MFU
+    a100_sec = total_flops / (312e12 * 0.60)
+    vs_baseline = a100_sec / sec_per_step  # >1 == faster than A100 roofline
+
+    print(json.dumps({
+        "metric": f"sec_per_cfg_denoise_step_{task}_480x832_81f",
+        "value": round(sec_per_step, 4),
+        "unit": "s/step",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

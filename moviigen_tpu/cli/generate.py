@@ -1,0 +1,180 @@
+"""Text→video generation CLI.
+
+Parity target: ``scripts/inference/generate.py`` — same flag surface
+(task, size, frame_num, ckpt_dir, prompt, sampling flags, parallel sizes),
+minus torchrun/NCCL bootstrap: device meshes come from ``jax.devices()``
+directly (``--ulysses_size``/``--ring_size`` map onto the sequence axis of
+a ``jax.sharding.Mesh``; ``--dit_fsdp``/``--t5_fsdp`` become param-shard
+annotations on the same mesh).
+
+Example:
+    python -m moviigen_tpu.cli.generate --task t2v-14B --size 1280*720 \
+        --ckpt_dir ./Wan2.1-T2V-14B --prompt "Two anthropomorphic cats..."
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+from datetime import datetime
+
+from ..configs import SIZE_CONFIGS, SUPPORTED_SIZES, WAN_CONFIGS
+from ..utils.io import cache_image, cache_video, str2bool
+
+EXAMPLE_PROMPT = {
+    "t2v-14B": {
+        "prompt": "Two anthropomorphic cats in comfy boxing gear and "
+                  "bright gloves fight intensely on a spotlighted stage.",
+    },
+    "t2v-1.3B": {
+        "prompt": "Two anthropomorphic cats in comfy boxing gear and "
+                  "bright gloves fight intensely on a spotlighted stage.",
+    },
+    "t2i-14B": {"prompt": "一个朴素端庄的美人"},
+    "t2v-tiny": {"prompt": "a tiny test video"},
+}
+
+
+def _validate_args(args):
+    # ref generate.py:34-60
+    assert args.ckpt_dir is None or os.path.isdir(args.ckpt_dir), \
+        "Please specify a valid --ckpt_dir"
+    assert args.task in WAN_CONFIGS, f"Unsupported task: {args.task}"
+    if args.sample_steps is None:
+        args.sample_steps = 50
+    if args.sample_shift is None:
+        args.sample_shift = 5.0
+    if args.frame_num is None:
+        args.frame_num = 1 if "t2i" in args.task else 81
+    if "t2i" in args.task:
+        assert args.frame_num == 1, "frame_num must be 1 for t2i"
+    else:
+        assert (args.frame_num - 1) % 4 == 0, \
+            "frame_num should be 4n+1 (ref generate.py:47-49)"
+    assert args.size in SUPPORTED_SIZES[args.task], (
+        f"Unsupported size {args.size} for task {args.task}; supported: "
+        f"{SUPPORTED_SIZES[args.task]}")
+    if args.prompt is None:
+        args.prompt = EXAMPLE_PROMPT[args.task]["prompt"]
+    assert args.base_seed is not None
+
+
+def _parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Generate a video from a text prompt (TPU-native)")
+    parser.add_argument("--task", type=str, default="t2v-14B",
+                        choices=list(WAN_CONFIGS.keys()))
+    parser.add_argument("--size", type=str, default="1280*720",
+                        choices=list(SIZE_CONFIGS.keys()))
+    parser.add_argument("--frame_num", type=int, default=None,
+                        help="frames to generate (4n+1)")
+    parser.add_argument("--ckpt_dir", type=str, default=None,
+                        help="checkpoint directory (random weights if unset)")
+    parser.add_argument("--ulysses_size", type=int, default=1,
+                        help="sequence-parallel (head all-to-all) degree")
+    parser.add_argument("--ring_size", type=int, default=1,
+                        help="ring-attention degree")
+    parser.add_argument("--dit_fsdp", action="store_true", default=False,
+                        help="shard DiT params across the mesh")
+    parser.add_argument("--t5_fsdp", action="store_true", default=False,
+                        help="shard T5 params across the mesh")
+    parser.add_argument("--t5_cpu", action="store_true", default=False,
+                        help="keep T5 on host (compatibility flag)")
+    parser.add_argument("--save_file", type=str, default=None)
+    parser.add_argument("--prompt", type=str, default=None)
+    parser.add_argument("--use_prompt_extend", action="store_true",
+                        default=False)
+    parser.add_argument("--prompt_extend_method", type=str,
+                        default="local_qwen",
+                        choices=["dashscope", "local_qwen"])
+    parser.add_argument("--prompt_extend_model", type=str, default=None)
+    parser.add_argument("--prompt_extend_target_lang", type=str,
+                        default="ch", choices=["ch", "en"])
+    parser.add_argument("--base_seed", type=int, default=-1)
+    parser.add_argument("--sample_solver", type=str, default="unipc",
+                        choices=["unipc", "dpm++"])
+    parser.add_argument("--sample_steps", type=int, default=None)
+    parser.add_argument("--sample_shift", type=float, default=None)
+    parser.add_argument("--sample_guide_scale", type=float, default=5.0)
+    parser.add_argument("--offload_model", type=str2bool, default=None,
+                        help="compatibility flag (no-op on TPU)")
+    return parser.parse_args(argv)
+
+
+def generate(args) -> str:
+    import jax
+
+    from ..parallel.mesh import make_mesh
+    from ..pipelines.text2video import WanT2V
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="[%(asctime)s] %(levelname)s: %(message)s")
+
+    cfg = WAN_CONFIGS[args.task]
+    n_dev = len(jax.devices())
+    sp = args.ulysses_size * args.ring_size
+    mesh = None
+    if sp > 1 or args.dit_fsdp or args.t5_fsdp:
+        assert n_dev % sp == 0, (
+            f"sequence-parallel degree {sp} must divide device count "
+            f"{n_dev}")
+        mesh = make_mesh(data=n_dev // sp, seq=sp)
+        logging.info("mesh: %s", mesh)
+
+    if args.use_prompt_extend:
+        from ..utils.prompt_extend import build_prompt_expander
+
+        expander = build_prompt_expander(
+            args.prompt_extend_method, model_name=args.prompt_extend_model,
+            task=args.task)
+        out = expander(args.prompt, tar_lang=args.prompt_extend_target_lang,
+                       seed=args.base_seed)
+        if out.status:
+            logging.info("extended prompt: %s", out.prompt)
+            args.prompt = out.prompt
+        else:
+            logging.warning("prompt extension failed: %s", out.message)
+
+    logging.info("prompt: %s", args.prompt)
+    pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
+
+    video = pipe.generate(
+        args.prompt,
+        size=SIZE_CONFIGS[args.size],
+        frame_num=args.frame_num,
+        shift=args.sample_shift,
+        sample_solver=args.sample_solver,
+        sampling_steps=args.sample_steps,
+        guide_scale=args.sample_guide_scale,
+        seed=args.base_seed,
+    )
+
+    if args.save_file is None:
+        ts = datetime.now().strftime("%Y%m%d_%H%M%S")
+        prompt_tag = args.prompt.replace(" ", "_").replace("/", "_")[:50]
+        suffix = ".png" if "t2i" in args.task else ".mp4"
+        args.save_file = (
+            f"{args.task}_{args.size.replace('*', 'x')}_{prompt_tag}_{ts}"
+            + suffix)
+
+    if "t2i" in args.task:
+        logging.info("saving image to %s", args.save_file)
+        out = cache_image(video[:, 0], save_file=args.save_file)
+    else:
+        logging.info("saving video to %s", args.save_file)
+        out = cache_video(video, save_file=args.save_file,
+                          fps=cfg.sample_fps)
+    logging.info("finished: %s", out)
+    return out
+
+
+def main(argv=None):
+    args = _parse_args(argv)
+    _validate_args(args)
+    return generate(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -215,5 +215,6 @@ SUPPORTED_SIZES = {
         "1280*560", "560*1280",
     ),
     "t2v-1.3B": ("480*832", "832*480"),
+    "t2v-tiny": tuple(SIZE_CONFIGS.keys()),
     "t2i-14B": tuple(SIZE_CONFIGS.keys()),
 }

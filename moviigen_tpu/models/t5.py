@@ -92,6 +92,7 @@ def encode(params: Params, ids: jnp.ndarray, mask: Optional[jnp.ndarray],
     buckets = jnp.asarray(relative_position_buckets(
         lq, lk, cfg.num_buckets, bidirectional=True))  # [L, L]
 
+    ids = jnp.clip(ids, 0, cfg.vocab_size - 1)
     x = jnp.take(params["token_embedding"], ids, axis=0)
 
     def body(carry, bp):

@@ -48,6 +48,57 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(v.dtype)
 
 
+def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       k_lens: Optional[jnp.ndarray], scale: float,
+                       block_k: int = 1024) -> jnp.ndarray:
+    """Memory-bounded online-softmax attention as a ``lax.scan`` over key
+    blocks — differentiable (used as the flash kernel's backward reference
+    and as a no-Pallas fallback for long sequences). Peak memory
+    O(B·N·Lq·block_k) instead of O(B·N·Lq·Lk)."""
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    bk = min(block_k, lk)
+    nblocks = -(-lk // bk)
+    lk_p = nblocks * bk
+
+    kp = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
+    if k_lens is None:
+        k_lens = jnp.full((b,), lk, jnp.int32)
+
+    # [nblocks, B, bk, N, D]
+    kb = kp.reshape(b, nblocks, bk, n, d).transpose(1, 0, 2, 3, 4)
+    vb = vp.reshape(b, nblocks, bk, n, d).transpose(1, 0, 2, 3, 4)
+
+    qf = q.astype(jnp.float32)
+
+    def body(carry, inp):
+        m_prev, l_prev, acc = carry
+        (kc, vc, jidx) = inp
+        s = jnp.einsum("blnd,bsnd->bnls", qf, kc.astype(jnp.float32))
+        s = s * scale
+        key_idx = jidx * bk + jnp.arange(bk)
+        mask = key_idx[None, None, None, :] < k_lens[:, None, None, None]
+        s = jnp.where(mask, s, jnp.float32(-1e30))
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_next)
+        l_next = jnp.exp(m_prev - m_next) * l_prev \
+            + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * jnp.exp(m_prev - m_next).transpose(0, 2, 1, 3) \
+            + jnp.einsum("bnls,bsnd->blnd", p, vc.astype(jnp.float32))
+        return (m_next, l_next, acc), None
+
+    m0 = jnp.full((b, n, lq, 1), -1e30, jnp.float32)
+    l0 = jnp.zeros((b, n, lq, 1), jnp.float32)
+    acc0 = jnp.zeros((b, lq, n, d), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(
+        body, (m0, l0, acc0), (kb, vb, jnp.arange(nblocks)))
+    l = jnp.where(l == 0.0, 1.0, l)
+    out = acc / l.transpose(0, 2, 1, 3)
+    return out.astype(v.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("scale", "backend", "compute_dtype"))
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -79,4 +130,6 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if backend == "pallas":
         from .flash_attention import flash_attention as _pallas_fa
         return _pallas_fa(q, k, v, k_lens=k_lens, scale=scale)
+    if backend == "chunked":
+        return _chunked_attention(q, k, v, k_lens, scale)
     return _xla_attention(q, k, v, k_lens, scale)

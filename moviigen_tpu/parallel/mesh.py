@@ -1,0 +1,43 @@
+"""Device mesh construction.
+
+Replaces the reference's NCCL process-group bootstrap
+(``generate.py:201-229``, ``finetune.py:285-289``, xfuser
+``initialize_model_parallel`` and FastVideo ``nccl_info`` state) with a
+single ``jax.sharding.Mesh``:
+
+- ``data``: data parallelism (the reference's SP-group-as-DP-unit);
+- ``seq``:  sequence parallelism (Ulysses/ring ≡ all_to_all/ppermute
+  over this axis) — also the param-shard (FSDP) axis, matching the
+  reference which shards FSDP over the same ranks as SP.
+
+On multi-host TPU pods, call ``jax.distributed.initialize()`` before
+building the mesh; XLA routes ``seq`` collectives over ICI when the axis
+is laid out within a slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh
+
+
+def make_mesh(data: int = 1, seq: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Build a (data, seq) mesh over the available devices."""
+    if devices is None:
+        devices = jax.devices()
+    n = data * seq
+    if n > len(devices):
+        raise ValueError(
+            f"mesh {data}x{seq} needs {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(data, seq)
+    return Mesh(dev, axis_names=("data", "seq"))
+
+
+def mesh_axis_size(mesh: Optional[Mesh], axis: str) -> int:
+    if mesh is None or axis not in mesh.shape:
+        return 1
+    return mesh.shape[axis]

@@ -1,0 +1,221 @@
+"""Text→video generation pipeline.
+
+Parity target: ``wan/text2video.py`` (WanT2V.__init__/generate): the
+CFG-guided flow-matching denoising loop around the DiT, umT5 encoder and
+3D causal VAE, with UniPC (default) or DPM++ samplers.
+
+TPU-native design differences:
+
+- **Batched CFG**: the conditional and unconditional branches run as one
+  ``B=2`` forward per step instead of two sequential forwards
+  (ref text2video.py:240-243) — halves per-step launch count and doubles
+  MXU batch efficiency.
+- **One compiled step**: the denoise step (model forward + CFG combine) is
+  jitted once per (resolution, frames) shape; scheduler updates are pure
+  device linear combinations from precomputed host tables.
+- **No CPU offload juggling** (ref text2video.py:175-259): params live on
+  device (sharded across the mesh when one is provided).
+- Seeding uses JAX PRNG; for seed-for-seed parity testing, ``generate``
+  accepts an explicit ``noise`` array (SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import PipelineConfig
+from ..diffusion import (
+    FlowDPMSolverMultistepScheduler,
+    FlowUniPCMultistepScheduler,
+    get_sampling_sigmas,
+)
+from ..models import t5 as t5m
+from ..models import vae as vaem
+from ..models import wan_model
+from ..models.tokenizer import load_tokenizer
+from ..ops.rope import rope_3d_freqs
+
+
+class WanT2V:
+    """Owns DiT + T5 + VAE params and orchestrates generation."""
+
+    def __init__(self, config: PipelineConfig,
+                 checkpoint_dir: Optional[str] = None,
+                 init_seed: int = 0,
+                 attn_backend: str = "auto",
+                 mesh=None,
+                 sp_size: Optional[int] = None):
+        self.config = config
+        self.attn_backend = attn_backend
+        self.mesh = mesh
+        self.num_train_timesteps = config.num_train_timesteps
+        self.vae_stride = config.vae_stride
+        self.patch_size = config.model.patch_size
+        self.sample_neg_prompt = config.sample_neg_prompt
+        self.sp_size = sp_size or 1
+        dtype = config.jnp_param_dtype
+
+        if checkpoint_dir is not None:
+            from ..models.t5 import load_t5_checkpoint
+            from ..models.vae_convert import load_vae_checkpoint
+            from ..models.wan_convert import load_wan_checkpoint
+
+            logging.info("loading checkpoints from %s", checkpoint_dir)
+            self.t5_params = load_t5_checkpoint(
+                os.path.join(checkpoint_dir, config.t5_checkpoint),
+                config.t5, dtype=jnp.dtype(config.t5_dtype))
+            self.vae_params = load_vae_checkpoint(
+                os.path.join(checkpoint_dir, config.vae_checkpoint),
+                config.vae, dtype=jnp.float32)
+            self.dit_params = load_wan_checkpoint(
+                checkpoint_dir, config.model, dtype=dtype)
+            tok_path = os.path.join(checkpoint_dir, config.t5_tokenizer)
+        else:
+            logging.warning("no checkpoint_dir: random-init params "
+                            "(smoke-test mode)")
+            keys = jax.random.split(jax.random.PRNGKey(init_seed), 3)
+            self.t5_params = t5m.init_params(
+                keys[0], config.t5, dtype=jnp.dtype(config.t5_dtype))
+            self.vae_params = vaem.init_params(keys[1], config.vae)
+            self.dit_params = wan_model.init_params(
+                keys[2], config.model, dtype=dtype)
+            tok_path = config.t5_tokenizer
+
+        self.tokenizer = load_tokenizer(
+            tok_path, seq_len=config.model.text_len, clean="whitespace",
+            vocab_size=config.t5.vocab_size)
+
+        if mesh is not None:
+            from ..parallel.sharding import shard_pipeline_params
+
+            self.t5_params, self.vae_params, self.dit_params = \
+                shard_pipeline_params(
+                    mesh, self.t5_params, self.vae_params, self.dit_params)
+            if sp_size is None:
+                self.sp_size = int(np.prod(
+                    [mesh.shape[a] for a in ("seq",) if a in mesh.shape]))
+
+        self._t5_encode = jax.jit(
+            lambda p, ids, mask: t5m.encode(p, ids, mask, config.t5))
+        self._vae_decode = jax.jit(
+            lambda p, z: vaem.decode(p, z, config.vae))
+        self._denoise_step_cache = {}
+
+    # ------------------------------------------------------------------
+
+    def encode_text(self, texts) -> jnp.ndarray:
+        """Prompt(s) → [B, text_len, t5_dim] with exact zeros beyond each
+        true length (the reference trims to true length and re-pads with
+        zeros before the DiT text MLP — t5.py:516-518 + model.py:549-554)."""
+        ids, mask = self.tokenizer(texts, return_mask=True,
+                                   add_special_tokens=True)
+        ids = jnp.asarray(ids)
+        mask = jnp.asarray(mask)
+        ctx = self._t5_encode(self.t5_params, ids, mask)
+        return ctx * mask[..., None].astype(ctx.dtype)
+
+    def _denoise_fn(self, grid, seq_len: int, guide_scale: float):
+        key = (grid, seq_len, guide_scale)
+        if key not in self._denoise_step_cache:
+            cfg = self.config.model
+            rope = rope_3d_freqs(grid, cfg.head_dim)
+            backend = self.attn_backend
+
+            def step(dit_params, latent, t, ctx_pair):
+                # latent: [1, C, F', H', W']; ctx_pair: [2, L, text_dim]
+                x2 = jnp.concatenate([latent, latent], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                pred = wan_model.forward(
+                    dit_params, x2, t2, ctx_pair, cfg, rope,
+                    seq_len=seq_len, attn_backend=backend)
+                cond, uncond = pred[:1], pred[1:]
+                return uncond + guide_scale * (cond - uncond)
+
+            self._denoise_step_cache[key] = jax.jit(step)
+        return self._denoise_step_cache[key]
+
+    # ------------------------------------------------------------------
+
+    def generate(self, input_prompt: str,
+                 size: Tuple[int, int] = (1280, 720),
+                 frame_num: int = 81,
+                 shift: float = 5.0,
+                 sample_solver: str = "unipc",
+                 sampling_steps: int = 50,
+                 guide_scale: float = 5.0,
+                 n_prompt: str = "",
+                 seed: int = -1,
+                 noise: Optional[np.ndarray] = None,
+                 return_latents: bool = False):
+        """Generate a video (ref WanT2V.generate, text2video.py:114-271).
+
+        Returns [C, F, H, W] numpy float32 in [-1, 1] (or the final latent
+        when ``return_latents``).
+        """
+        f = frame_num
+        target_shape = (
+            self.config.vae.z_dim,
+            (f - 1) // self.vae_stride[0] + 1,
+            size[1] // self.vae_stride[1],
+            size[0] // self.vae_stride[2],
+        )
+        # seq_len rounded to an sp multiple (ref text2video.py:164-166)
+        seq_len = int(math.ceil(
+            (target_shape[2] * target_shape[3])
+            / (self.patch_size[1] * self.patch_size[2])
+            * target_shape[1] / self.sp_size)) * self.sp_size
+        grid = (
+            target_shape[1] // self.patch_size[0],
+            target_shape[2] // self.patch_size[1],
+            target_shape[3] // self.patch_size[2],
+        )
+
+        if n_prompt == "":
+            n_prompt = self.sample_neg_prompt
+        if seed < 0:
+            seed = int.from_bytes(os.urandom(4), "little")
+
+        ctx_pair = self.encode_text([input_prompt, n_prompt])
+
+        if noise is None:
+            key = jax.random.PRNGKey(seed)
+            latent = jax.random.normal(
+                key, (1, *target_shape), jnp.float32)
+        else:
+            latent = jnp.asarray(noise, jnp.float32).reshape(
+                1, *target_shape)
+
+        if sample_solver == "unipc":
+            scheduler = FlowUniPCMultistepScheduler(
+                num_train_timesteps=self.num_train_timesteps, shift=1.0)
+            scheduler.set_timesteps(sampling_steps, shift=shift)
+        elif sample_solver == "dpm++":
+            scheduler = FlowDPMSolverMultistepScheduler(
+                num_train_timesteps=self.num_train_timesteps, shift=1.0)
+            scheduler.set_timesteps(
+                sampling_steps,
+                sigmas=get_sampling_sigmas(sampling_steps, shift))
+        else:
+            raise NotImplementedError(
+                f"Unsupported solver: {sample_solver}")
+
+        step_fn = self._denoise_fn(grid, seq_len, float(guide_scale))
+        state = scheduler.init_state(latent)
+
+        for i, t in enumerate(scheduler.timesteps):
+            t_dev = jnp.asarray([float(t)], jnp.float32)
+            noise_pred = step_fn(self.dit_params, latent, t_dev, ctx_pair)
+            latent, state = scheduler.step(noise_pred, i, latent, state)
+
+        if return_latents:
+            return np.asarray(latent[0])
+
+        video = self._vae_decode(self.vae_params, latent)
+        return np.asarray(video[0], np.float32)

@@ -1,0 +1,101 @@
+"""Flash-attention kernel tests.
+
+On CPU the Pallas kernel runs in interpreter mode (same program, Python
+semantics); numerics are checked against the plain XLA softmax oracle.
+On-TPU compiled behavior is exercised by bench.py and the pipeline.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moviigen_tpu.ops.attention import _chunked_attention, attention
+
+
+def _rand_qkv(b, l, n, d, lk=None, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    lk = lk or l
+    q = jnp.asarray(rng.standard_normal((b, l, n, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((b, lk, n, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((b, lk, n, d)), dtype)
+    return q, k, v
+
+
+# keep a reference to the original before monkeypatching
+from jax.experimental import pallas as pl  # noqa: E402
+
+_orig_pallas_call = pl.pallas_call
+
+
+@pytest.mark.parametrize("shape", [
+    (1, 128, 2, 32), (2, 300, 3, 64), (1, 1024, 1, 128),
+])
+def test_pallas_interpret_matches_xla(shape):
+    b, l, n, d = shape
+    q, k, v = _rand_qkv(b, l, n, d)
+    want = attention(q, k, v, backend="xla", compute_dtype=jnp.float32)
+    got = _interp_flash(q, k, v, block_q=128, block_k=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def _interp_flash(q, k, v, k_lens=None, **kw):
+    """Run the Pallas kernel in interpreter mode (CPU)."""
+    import functools
+    from unittest import mock
+
+    from moviigen_tpu.ops import flash_attention as fa
+
+    with mock.patch.object(
+            fa.pl, "pallas_call",
+            functools.partial(_orig_pallas_call, interpret=True)):
+        return fa.flash_attention(q, k, v, k_lens=k_lens, **kw)
+
+
+def test_flash_klens_masking():
+    q, k, v = _rand_qkv(2, 200, 2, 32, seed=1)
+    k_lens = jnp.asarray([200, 77], jnp.int32)
+    want = attention(q, k, v, k_lens=k_lens, backend="xla",
+                     compute_dtype=jnp.float32)
+    got = _interp_flash(q, k, v, k_lens=k_lens, block_q=64, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_grad_via_chunked_bwd():
+    q, k, v = _rand_qkv(1, 96, 2, 16, seed=2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_interp_flash(q, k, v, block_q=32, block_k=32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(
+            attention(q, k, v, backend="xla",
+                      compute_dtype=jnp.float32) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_chunked_matches_xla():
+    q, k, v = _rand_qkv(2, 257, 2, 32, seed=3)
+    k_lens = jnp.asarray([257, 100], jnp.int32)
+    want = attention(q, k, v, k_lens=k_lens, backend="xla",
+                     compute_dtype=jnp.float32)
+    got = _chunked_attention(q, k, v, k_lens, scale=32 ** -0.5, block_k=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_chunked_differentiable():
+    q, k, v = _rand_qkv(1, 64, 1, 16, seed=4)
+
+    def f(q):
+        return jnp.sum(_chunked_attention(q, k, v, None, 0.25, 32))
+
+    g = jax.grad(f)(q)
+    assert np.all(np.isfinite(np.asarray(g)))
