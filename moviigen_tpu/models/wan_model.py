@@ -341,6 +341,83 @@ def unpatchify(x: jnp.ndarray, grid, patch_size, out_dim: int) -> jnp.ndarray:
     return x.reshape(b, out_dim, f * pt, h * ph, w * pw)
 
 
+def embed_inputs(params: Params, x: jnp.ndarray, t: jnp.ndarray,
+                 context: jnp.ndarray, cfg: WanModelConfig,
+                 seq_len: Optional[int] = None,
+                 compute_dtype=jnp.bfloat16,
+                 clip_fea: Optional[jnp.ndarray] = None,
+                 y: Optional[jnp.ndarray] = None):
+    """Patch-embed + time/text embeddings (ref model.py:523-558).
+
+    Returns (tokens [B, L, D], e [B, D] fp32, e0 [B, 6, D] fp32,
+    ctx [B, Lc, D], grid, k_lens)."""
+    if y is not None:
+        x = jnp.concatenate([x, y], axis=1)
+
+    b = x.shape[0]
+    pt, ph, pw = cfg.patch_size
+    grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
+    tokens = grid[0] * grid[1] * grid[2]
+
+    xt = patchify(x, cfg.patch_size)
+    xt = _dense(params["patch_embedding"], xt, compute_dtype)
+
+    k_lens = None
+    if seq_len is not None and seq_len > tokens:
+        xt = jnp.pad(xt, ((0, 0), (0, seq_len - tokens), (0, 0)))
+        k_lens = jnp.full((b,), tokens, jnp.int32)
+
+    emb = sinusoidal_embedding_1d(cfg.freq_dim, t)
+    e = _dense(params["time_embedding"]["fc1"], emb, jnp.float32)
+    e = jax.nn.silu(e)
+    e = _dense(params["time_embedding"]["fc2"], e, jnp.float32)
+    e0 = _dense(params["time_projection"]["fc"], jax.nn.silu(e), jnp.float32)
+    e0 = e0.reshape(b, 6, cfg.dim)
+
+    ctx = _dense(params["text_embedding"]["fc1"], context, compute_dtype)
+    ctx = jax.nn.gelu(ctx, approximate=True)
+    ctx = _dense(params["text_embedding"]["fc2"], ctx, compute_dtype)
+
+    if clip_fea is not None:
+        ie = params["img_emb"]
+        ci = layer_norm(clip_fea, ie["norm1"]["scale"], ie["norm1"]["bias"])
+        ci = _dense(ie["fc1"], ci, compute_dtype)
+        ci = jax.nn.gelu(ci, approximate=False)
+        ci = _dense(ie["fc2"], ci, compute_dtype)
+        ci = layer_norm(ci, ie["norm2"]["scale"], ie["norm2"]["bias"])
+        ctx = jnp.concatenate([ci.astype(ctx.dtype), ctx], axis=1)
+
+    return xt, e, e0, ctx, grid, k_lens
+
+
+def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
+               ctx: jnp.ndarray, cfg: WanModelConfig, rope: RopeTables,
+               k_lens: Optional[jnp.ndarray],
+               compute_dtype=jnp.bfloat16, attn_backend: str = "auto",
+               remat: bool = False, self_attn_fn=None) -> jnp.ndarray:
+    """Scan the AdaLN block stack over the fp32 residual stream."""
+    xr = xt.astype(jnp.float32)
+
+    def body(carry, bp):
+        out = attention_block(bp, carry, e0, ctx, cfg, rope, k_lens,
+                              compute_dtype, attn_backend,
+                              self_attn_fn=self_attn_fn)
+        return out, None
+
+    body_fn = jax.checkpoint(body) if remat else body
+    xr, _ = jax.lax.scan(body_fn, xr, params["blocks"])
+    return xr
+
+
+def head_output(params: Params, xr: jnp.ndarray, e: jnp.ndarray,
+                cfg: WanModelConfig) -> jnp.ndarray:
+    """Modulated output head (ref model.py:316-343), all-fp32."""
+    hm = params["head"]["modulation"].astype(jnp.float32)[None] + e[:, None, :]
+    xh = layer_norm(xr, eps=1e-6, keep_fp32=True) \
+        * (1 + hm[:, 1][:, None, :]) + hm[:, 0][:, None, :]
+    return _dense(params["head"]["head"], xh, jnp.float32)
+
+
 def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
             context: jnp.ndarray, cfg: WanModelConfig, rope: RopeTables,
             seq_len: Optional[int] = None,
@@ -369,61 +446,11 @@ def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
     Returns:
         [B, C_out, F, H, W] prediction in fp32.
     """
-    if y is not None:
-        x = jnp.concatenate([x, y], axis=1)
-
-    b = x.shape[0]
-    pt, ph, pw = cfg.patch_size
-    grid = (x.shape[2] // pt, x.shape[3] // ph, x.shape[4] // pw)
-    tokens = grid[0] * grid[1] * grid[2]
-
-    # patch embedding (single matmul)
-    xt = patchify(x, cfg.patch_size)
-    xt = _dense(params["patch_embedding"], xt, compute_dtype)
-
-    k_lens = None
-    if seq_len is not None and seq_len > tokens:
-        xt = jnp.pad(xt, ((0, 0), (0, seq_len - tokens), (0, 0)))
-        k_lens = jnp.full((b,), tokens, jnp.int32)
-
-    # time embeddings — fp32 island (ref model.py:541-545)
-    emb = sinusoidal_embedding_1d(cfg.freq_dim, t)
-    e = _dense(params["time_embedding"]["fc1"], emb, jnp.float32)
-    e = jax.nn.silu(e)
-    e = _dense(params["time_embedding"]["fc2"], e, jnp.float32)
-    e0 = _dense(params["time_projection"]["fc"], jax.nn.silu(e), jnp.float32)
-    e0 = e0.reshape(b, 6, cfg.dim)
-
-    # text embedding MLP (ref model.py:549-554)
-    ctx = _dense(params["text_embedding"]["fc1"], context, compute_dtype)
-    ctx = jax.nn.gelu(ctx, approximate=True)
-    ctx = _dense(params["text_embedding"]["fc2"], ctx, compute_dtype)
-
-    if clip_fea is not None:
-        # MLPProj (ref model.py:346-358): LN → Linear → GELU → Linear → LN
-        ie = params["img_emb"]
-        ci = layer_norm(clip_fea, ie["norm1"]["scale"], ie["norm1"]["bias"])
-        ci = _dense(ie["fc1"], ci, compute_dtype)
-        ci = jax.nn.gelu(ci, approximate=False)
-        ci = _dense(ie["fc2"], ci, compute_dtype)
-        ci = layer_norm(ci, ie["norm2"]["scale"], ie["norm2"]["bias"])
-        ctx = jnp.concatenate([ci.astype(ctx.dtype), ctx], axis=1)
-
-    # block stack — fp32 residual stream, scanned over stacked params
-    xr = xt.astype(jnp.float32)
-
-    def body(carry, bp):
-        out = attention_block(bp, carry, e0, ctx, cfg, rope, k_lens,
-                              compute_dtype, attn_backend)
-        return out, None
-
-    body_fn = jax.checkpoint(body) if remat else body
-    xr, _ = jax.lax.scan(body_fn, xr, params["blocks"])
-
-    # head (ref model.py:316-343; all-fp32 modulated projection)
-    hm = params["head"]["modulation"].astype(jnp.float32)[None] + e[:, None, :]
-    xh = layer_norm(xr, eps=1e-6, keep_fp32=True) \
-        * (1 + hm[:, 1][:, None, :]) + hm[:, 0][:, None, :]
-    out = _dense(params["head"]["head"], xh, jnp.float32)
-
+    xt, e, e0, ctx, grid, k_lens = embed_inputs(
+        params, x, t, context, cfg, seq_len=seq_len,
+        compute_dtype=compute_dtype, clip_fea=clip_fea, y=y)
+    xr = run_blocks(params, xt, e0, ctx, cfg, rope, k_lens,
+                    compute_dtype=compute_dtype, attn_backend=attn_backend,
+                    remat=remat)
+    out = head_output(params, xr, e, cfg)
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)

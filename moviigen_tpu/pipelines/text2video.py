@@ -128,13 +128,23 @@ class WanT2V:
             rope = rope_3d_freqs(grid, cfg.head_dim)
             backend = self.attn_backend
 
+            mesh = self.mesh
+            use_sp = mesh is not None and mesh.shape.get("seq", 1) > 1
+
             def step(dit_params, latent, t, ctx_pair):
                 # latent: [1, C, F', H', W']; ctx_pair: [2, L, text_dim]
                 x2 = jnp.concatenate([latent, latent], axis=0)
                 t2 = jnp.concatenate([t, t], axis=0)
-                pred = wan_model.forward(
-                    dit_params, x2, t2, ctx_pair, cfg, rope,
-                    seq_len=seq_len, attn_backend=backend)
+                if use_sp:
+                    from ..parallel.ulysses import sequence_parallel_forward
+
+                    pred = sequence_parallel_forward(
+                        dit_params, x2, t2, ctx_pair, cfg, rope, mesh,
+                        seq_len=seq_len, attn_backend=backend)
+                else:
+                    pred = wan_model.forward(
+                        dit_params, x2, t2, ctx_pair, cfg, rope,
+                        seq_len=seq_len, attn_backend=backend)
                 cond, uncond = pred[:1], pred[1:]
                 return uncond + guide_scale * (cond - uncond)
 

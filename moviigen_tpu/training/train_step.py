@@ -87,21 +87,32 @@ def init_train_state(params: Dict[str, Any], tc: TrainConfig):
 
 def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
                     rope: RopeTables, seq_len: Optional[int] = None,
-                    attn_backend: str = "auto"):
+                    attn_backend: str = "auto", mesh=None):
     """Returns ``step(params, opt_state, batch, key) →
     (params, opt_state, metrics)``; jit at the call site with the desired
-    shardings."""
+    shardings. With a mesh whose ``seq`` axis > 1, the forward runs
+    sequence-parallel (Ulysses) — the training analog of
+    ``model_seq.py``'s ``sp_size`` (finetune.sh: sp_size 8)."""
     sigmas_tab, _ = train_schedule(tc.num_train_timesteps,
                                    tc.schedule_shift)
     sigmas_tab = jnp.asarray(sigmas_tab)
     opt = make_optimizer(tc)
+    use_sp = mesh is not None and mesh.shape.get("seq", 1) > 1
 
     def loss_fn(params, latents, context, noise, sigmas):
         noisy = flow_match_noisy(latents, noise, sigmas)
         t = sigmas * tc.num_train_timesteps  # timesteps = σ·T
-        pred = wan_model.forward(
-            params, noisy, t, context, cfg, rope, seq_len=seq_len,
-            remat=tc.remat, attn_backend=attn_backend)
+        if use_sp:
+            from ..parallel.ulysses import sequence_parallel_forward
+
+            pred = sequence_parallel_forward(
+                params, noisy, t, context, cfg, rope, mesh,
+                seq_len=seq_len, remat=tc.remat,
+                attn_backend=attn_backend)
+        else:
+            pred = wan_model.forward(
+                params, noisy, t, context, cfg, rope, seq_len=seq_len,
+                remat=tc.remat, attn_backend=attn_backend)
         target = flow_match_target(latents, noise)
         loss = jnp.mean(jnp.square(pred.astype(jnp.float32)
                                    - target.astype(jnp.float32)))

@@ -1,0 +1,84 @@
+"""Distributed-execution invariance tests on the 8-device virtual CPU mesh.
+
+This is the structural upgrade over the reference's hand-checked
+print-sum SP debugging (SURVEY §4.3): sharded forward must equal the
+single-device forward bit-for-tolerance."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from moviigen_tpu.configs import WAN_CONFIGS
+from moviigen_tpu.models import wan_model
+from moviigen_tpu.ops.rope import rope_3d_freqs
+from moviigen_tpu.parallel.mesh import make_mesh
+from moviigen_tpu.parallel.sharding import dit_param_specs, shard_params
+from moviigen_tpu.parallel.ulysses import sequence_parallel_forward
+
+CFG = WAN_CONFIGS["t2v-tiny"].model
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = wan_model.init_params(jax.random.PRNGKey(0), CFG,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, CFG.in_dim, 4, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([500.0, 250.0], jnp.float32)
+    ctx = jnp.asarray(
+        rng.standard_normal((2, CFG.text_len, CFG.text_dim)), jnp.float32)
+    rope = rope_3d_freqs((4, 4, 4), CFG.head_dim)
+    ref = wan_model.forward(params, x, t, ctx, CFG, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    return params, x, t, ctx, rope, ref
+
+
+@pytest.mark.parametrize("data,seq", [(1, 4), (2, 4), (1, 2), (2, 1)])
+def test_ulysses_sp_invariance(setup, data, seq):
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=data, seq=seq)
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh,
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ulysses_sp_with_padded_seq(setup):
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=1, seq=4)
+    # 64 tokens padded to 72 (multiple of 4) exercises k_lens masking +
+    # identity-rope padding
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh, seq_len=72,
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_gspmd_param_sharding_invariance(setup):
+    """TP-style param sharding (GSPMD) must not change the result."""
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=2, seq=4)
+    specs = dit_param_specs(params, axis="seq")
+    sharded = shard_params(mesh, params, specs)
+    with mesh:
+        xb = jax.device_put(x, NamedSharding(
+            mesh, P("data", None, None, None, None)))
+        out = jax.jit(lambda p, x: wan_model.forward(
+            p, x, t, ctx, CFG, rope, compute_dtype=jnp.float32,
+            attn_backend="xla"))(sharded, xb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ulysses_head_divisibility_assert(setup):
+    params, x, t, ctx, rope, _ = setup
+    mesh = make_mesh(data=1, seq=8)  # heads=4 < 8 → must raise
+    with pytest.raises(AssertionError):
+        sequence_parallel_forward(
+            params, x, t, ctx, CFG, rope, mesh,
+            compute_dtype=jnp.float32, attn_backend="xla")
