@@ -92,6 +92,11 @@ class LatentDataset:
             [a.get("aspect_ratio_bin", 0) for a in self.data_anno])
         self.lengths = [a.get("length", 1) for a in self.data_anno]
 
+        if not self.data_anno:
+            raise ValueError(
+                f"LatentDataset is empty after filtering ({json_path}); "
+                "check aspect_ratio_bin filters and the annotation json")
+
         self.uncond_prompt_embed = np.zeros((txt_max_len, text_dim),
                                             np.float32)
         self.uncond_prompt_mask = np.zeros((txt_max_len,), np.int64)

@@ -1,0 +1,109 @@
+"""Preprocessing pipeline tests: synthetic raw 'videos' → latent/embed
+caches → (chained) fine-tuning consumes the produced annotations."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def raw_dataset(tmp_path):
+    """Synthetic raw dataset: .npy 'videos' + annotation json + merge."""
+    vids = tmp_path / "videos"
+    vids.mkdir()
+    rng = np.random.default_rng(0)
+    annos = []
+    for i in range(4):
+        # 24 frames of 48x64 RGB (h/w = 0.75 → passes the 1080/1920
+        # aspect filter window [0.375, 0.84]? no — use 0.5625-ish)
+        frames = rng.integers(0, 255, size=(24, 36, 64, 3), dtype=np.uint8)
+        path = vids / f"clip{i}.npy"
+        np.save(path, frames)
+        annos.append({
+            "path": str(path),
+            "cap": f"synthetic clip number {i}",
+            "fps": 16,
+            "duration": 1.5,
+            "resolution": {"height": 36, "width": 64},
+        })
+    anno_json = tmp_path / "annos.json"
+    anno_json.write_text(json.dumps(annos))
+    merge = tmp_path / "merge.txt"
+    merge.write_text(str(anno_json) + "\n")
+    return str(merge), tmp_path
+
+
+def test_t2v_dataset_filters_and_bins(raw_dataset):
+    from moviigen_tpu.data.t2v_dataset import T2VDataset
+
+    merge, _ = raw_dataset
+    ds = T2VDataset(merge, num_frames=9, train_fps=16, max_height=36,
+                    max_width=64, drop_short_ratio=0.0,
+                    video_length_tolerance_range=5.0,
+                    bin_crop_sizes=[{"height": 32, "width": 48}] * 3)
+    assert len(ds) == 4
+    item = ds[0]
+    v = item["pixel_values"]
+    # bin 0 crop scaled? bin sizes are cinematic (832x1920 etc.) — for
+    # tiny inputs resize_and_crop upscales to the bin size; just check
+    # the contract: [C, T, H, W], in [-1, 1]
+    assert v.ndim == 4 and v.shape[0] == 3
+    assert v.min() >= -1.0 and v.max() <= 1.0
+    assert item["text"].startswith("synthetic clip")
+
+
+def test_preprocess_cli_and_finetune_chain(raw_dataset, tmp_path):
+    from moviigen_tpu.cli.preprocess import main as preprocess_main
+
+    merge, _ = raw_dataset
+    out = tmp_path / "pre"
+    out_json = preprocess_main([
+        "--data_merge_path", merge,
+        "--output_dir", str(out),
+        "--task", "t2v-tiny",
+        "--num_frames", "9",
+        "--train_fps", "16",
+        "--max_height", "36",
+        "--max_width", "64",
+        "--drop_short_ratio", "0.0",
+        "--video_length_tolerance_range", "5.0",
+        "--crop_height", "32", "--crop_width", "48",
+    ])
+    annos = json.loads(open(out_json).read())
+    assert len(annos) == 4
+    lat = np.load(out / "latent" / annos[0]["latent_path"])
+    assert lat.shape[0] == 4  # tiny z_dim
+    emb = np.load(out / "prompt_embed" / annos[0]["prompt_embed_path"])
+    assert emb.shape[1] == 32  # tiny t5 dim
+    assert (out / "videos2caption_latest.json").exists()
+
+    # resume: second run should skip everything
+    out_json2 = preprocess_main([
+        "--data_merge_path", merge,
+        "--output_dir", str(out),
+        "--task", "t2v-tiny",
+        "--num_frames", "9",
+        "--train_fps", "16",
+        "--max_height", "36",
+        "--max_width", "64",
+        "--drop_short_ratio", "0.0",
+        "--video_length_tolerance_range", "5.0",
+        "--crop_height", "32", "--crop_width", "48",
+    ])
+    # resumed run re-processes nothing but keeps the full metadata view
+    assert len(json.loads(open(out_json2).read())) == 4
+
+    # chain into fine-tuning on the produced caches
+    from moviigen_tpu.cli.finetune import main as finetune_main
+
+    finetune_main([
+        "--task", "t2v-tiny",
+        "--data_json_path", str(out / "videos2caption_latest.json"),
+        "--num_latent_t", "2",
+        "--output_dir", str(tmp_path / "train_out"),
+        "--train_batch_size", "2",
+        "--max_train_steps", "2",
+        "--checkpointing_steps", "100",
+    ])
