@@ -83,6 +83,61 @@ def load_ref_model():
     return mod
 
 
+def load_ref_clip():
+    """Reference CLIP (vision tower) runnable on CPU: torchvision,
+    tokenizers stubbed; flash-attention patched to fp32 SDPA."""
+    import torch
+
+    attn = sys.modules.get("ref_attention")
+    if attn is None:
+        attn = _load("ref_attention",
+                     os.path.join(REF, "wan/modules/attention.py"))
+
+        def cpu_flash_attention(q, k, v, q_lens=None, k_lens=None, **kw):
+            return attn.attention(q, k, v, q_lens=None, k_lens=None,
+                                  dtype=torch.float32)
+
+        attn.flash_attention = cpu_flash_attention
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvt = types.ModuleType("torchvision.transforms")
+
+        class _Stub:
+            def __init__(self, *a, **k):
+                self.transforms = a[0] if a else []
+
+        tvt.Compose = _Stub
+        tvt.Resize = _Stub
+        tvt.ToTensor = _Stub
+        tvt.Normalize = _Stub
+        tvt.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+        tv.transforms = tvt
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tvt
+
+    xlm_path = os.path.join(REF, "wan/modules/xlm_roberta.py")
+    xlm_src = open(xlm_path).read()
+    xlm = types.ModuleType("ref_xlm_roberta")
+    xlm.__file__ = xlm_path
+    sys.modules["ref_xlm_roberta"] = xlm
+    exec(compile(xlm_src, xlm_path, "exec"), xlm.__dict__)
+
+    path = os.path.join(REF, "wan/modules/clip.py")
+    src = open(path).read() \
+        .replace("from .attention import flash_attention",
+                 "from ref_attention import flash_attention") \
+        .replace("from .tokenizers import HuggingfaceTokenizer",
+                 "HuggingfaceTokenizer = None") \
+        .replace("from .xlm_roberta import XLMRoberta",
+                 "from ref_xlm_roberta import XLMRoberta")
+    mod = types.ModuleType("ref_clip")
+    mod.__file__ = path
+    sys.modules["ref_clip"] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
+
+
 def load_ref_t5():
     """Reference T5 runnable on CPU: tokenizers import stubbed out."""
     path = os.path.join(REF, "wan/modules/t5.py")
