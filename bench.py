@@ -60,21 +60,35 @@ def main():
                                  attn_backend="pallas")
         return pred[1:] + 5.0 * (pred[:1] - pred[1:])
 
-    step = jax.jit(denoise_step)
     x = jnp.asarray(np.random.default_rng(0).standard_normal(lat_shape),
                     jnp.float32)
     t = jnp.asarray([500.0], jnp.float32)
     ctx = jnp.zeros((2, cfg.text_len, cfg.text_dim), jnp.bfloat16)
 
-    out = step(params, x, t, ctx)
-    out.block_until_ready()  # compile + warmup
-
+    # chained iterations inside one jit + scalar readback: robust against
+    # async-dispatch timing artifacts (block_until_ready is unreliable
+    # through the remote-TPU relay)
     n_iter = 3
+
+    @jax.jit
+    def chain(params, x, t, ctx):
+        def body(i, acc):
+            return denoise_step(params, acc, t, ctx) * jnp.float32(0.999)
+
+        out = jax.lax.fori_loop(0, n_iter, body, x)
+        return jnp.sum(out)
+
+    trivial = jax.jit(lambda v: jnp.sum(v))
+    float(trivial(t))
     t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = step(params, x, t, ctx)
-    out.block_until_ready()
-    sec_per_step = (time.perf_counter() - t0) / n_iter
+    for _ in range(3):
+        float(trivial(t))
+    overhead = (time.perf_counter() - t0) / 3
+
+    float(chain(params, x, t, ctx))  # compile + warmup
+    t0 = time.perf_counter()
+    float(chain(params, x, t, ctx))
+    sec_per_step = (time.perf_counter() - t0 - overhead) / n_iter
 
     # FLOPs per CFG step (2 model evals): linear 2·2·P_block·L plus
     # attention 4·L²·D per layer (QK^T + PV, fwd).

@@ -29,15 +29,17 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 
 _NEG_INF = -1e30
 
 
 def _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
-                  *, scale: float, block_k: int, kv_len: int):
+                  *, block_k: int, masked: bool):
+    """q is pre-scaled by the softmax scale (saves a VPU pass per tile);
+    ``masked=False`` compiles out the key-padding predicate entirely."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -54,13 +56,13 @@ def _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)  # [BQ, BK]
-    s = s * scale
 
-    # key-padding mask: global key index >= k_len → -inf
-    klen = klen_ref[pl.program_id(0)]
-    key_idx = j * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, dimension=1)
-    s = jnp.where(key_idx < klen, s, _NEG_INF)
+    if masked:
+        # key-padding mask: global key index >= k_len → -inf
+        klen = klen_ref[pl.program_id(0)]
+        key_idx = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(key_idx < klen, s, _NEG_INF)
 
     m_prev = m_scratch[:]          # [BQ, 1]
     l_prev = l_scratch[:]
@@ -96,8 +98,9 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, lq, n, d = q.shape
     lk = k.shape[1]
 
-    # → [B·N, L, D]
-    qf = q.transpose(0, 2, 1, 3).reshape(b * n, lq, d)
+    # → [B·N, L, D]; pre-scale q by the softmax scale
+    qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
+        .reshape(b * n, lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
 
@@ -113,6 +116,9 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kf = jnp.pad(kf, ((0, 0), (0, lk_p - lk), (0, 0)))
         vf = jnp.pad(vf, ((0, 0), (0, lk_p - lk), (0, 0)))
 
+    # masking needed only when a caller-supplied k_lens could be < lk or
+    # the key axis was padded
+    masked = k_lens is not None or lk_p != lk
     if k_lens is None:
         klens = jnp.full((b,), lk, jnp.int32)
     else:
@@ -121,8 +127,7 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (b * n, lq_p // bq, lk_p // bk)
 
-    kernel = functools.partial(
-        _flash_kernel, scale=scale, block_k=bk, kv_len=lk)
+    kernel = functools.partial(_flash_kernel, block_k=bk, masked=masked)
 
     out = pl.pallas_call(
         kernel,
@@ -182,9 +187,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     scale: Optional[float] = None,
                     block_q: int = DEFAULT_BLOCK_Q,
                     block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
-    """Fused non-causal attention. Inputs [B, L, N, D] (bf16 preferred)."""
+    """Fused non-causal attention. Inputs [B, L, N, D] (bf16 preferred).
+    ``k_lens=None`` selects the unmasked fast path."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    if k_lens is None:
-        k_lens = jnp.full((q.shape[0],), k.shape[1], jnp.int32)
     return _flash(q, k, v, k_lens, scale, block_q, block_k)
