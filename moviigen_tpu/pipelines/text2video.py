@@ -104,8 +104,18 @@ class WanT2V:
 
         self._t5_encode = jax.jit(
             lambda p, ids, mask: t5m.encode(p, ids, mask, config.t5))
-        self._vae_decode = jax.jit(
-            lambda p, z: vaem.decode(p, z, config.vae))
+        from ..models.vae_streaming import decode_streaming
+
+        def _decode(p, z):
+            # streaming decode bounds activation memory for real clip
+            # sizes; the full-tensor path is faster for tiny shapes
+            t, h, w = z.shape[2], z.shape[3] * 8, z.shape[4] * 8
+            frames = 1 + (t - 1) * 4
+            if frames * h * w > 2 ** 24:  # ~16M output pixels
+                return decode_streaming(p, z, config.vae)
+            return vaem.decode(p, z, config.vae)
+
+        self._vae_decode = jax.jit(_decode)
         self._denoise_step_cache = {}
 
     # ------------------------------------------------------------------

@@ -1,0 +1,48 @@
+"""Streaming VAE must equal the full-tensor VAE (which is itself
+parity-tested against the reference's streaming loop)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from moviigen_tpu.configs import VAEConfig
+from moviigen_tpu.models import vae as jvae
+from moviigen_tpu.models.vae_streaming import (decode_streaming,
+                                               encode_streaming)
+
+CFG = VAEConfig(dim=8, z_dim=4)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return jvae.init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.mark.parametrize("frames", [1, 5, 13])
+def test_encode_streaming_matches_full(params, frames):
+    video = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 3, frames, 16, 16)),
+        jnp.float32)
+    full = np.asarray(jvae.encode(params, video, CFG))
+    stream = np.asarray(encode_streaming(params, video, CFG))
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("latent_frames", [1, 4])
+def test_decode_streaming_matches_full(params, latent_frames):
+    z = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (1, CFG.z_dim, latent_frames, 4, 4)), jnp.float32)
+    full = np.asarray(jvae.decode(params, z, CFG))
+    stream = np.asarray(decode_streaming(params, z, CFG))
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5, rtol=1e-4)
+
+
+def test_streaming_jittable(params):
+    f = jax.jit(lambda p, z: decode_streaming(p, z, CFG))
+    z = jnp.zeros((1, CFG.z_dim, 3, 4, 4))
+    out = f(params, z)
+    assert out.shape == (1, 3, 9, 32, 32)
