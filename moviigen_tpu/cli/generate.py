@@ -138,7 +138,9 @@ def generate(args) -> str:
             logging.warning("prompt extension failed: %s", out.message)
 
     logging.info("prompt: %s", args.prompt)
-    pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh)
+    sp_mode = "ring" if args.ring_size > 1 else "ulysses"
+    pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
+                  sp_mode=sp_mode)
 
     video = pipe.generate(
         args.prompt,

@@ -35,6 +35,25 @@ DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
 
+def _flash_kernel_stats(klen_ref, q_ref, k_ref, v_ref,
+                        o_ref, m_out_ref, l_out_ref,
+                        m_scratch, l_scratch, acc_scratch,
+                        *, block_k: int, masked: bool):
+    """Variant that also writes per-row softmax stats (running max m and
+    normalizer l) — residuals for ring-attention cross-shard combination
+    and (future) backward."""
+    _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
+                  m_scratch, l_scratch, acc_scratch,
+                  block_k=block_k, masked=masked)
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == nk - 1)
+    def _store_stats():
+        m_out_ref[0] = m_scratch[:, 0][None, :]
+        l_out_ref[0] = l_scratch[:, 0][None, :]
+
+
 def _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
                   m_scratch, l_scratch, acc_scratch,
                   *, block_k: int, masked: bool):
@@ -93,8 +112,10 @@ def _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
 
 def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                k_lens: Optional[jnp.ndarray], scale: float,
-               block_q: int, block_k: int) -> jnp.ndarray:
-    """q: [B, Lq, N, D]; k/v: [B, Lk, N, D] → [B, Lq, N, D]."""
+               block_q: int, block_k: int,
+               return_stats: bool = False):
+    """q: [B, Lq, N, D]; k/v: [B, Lk, N, D] → [B, Lq, N, D]
+    (+ optional per-row (m, l) stats [B, Lq, N])."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
 
@@ -127,32 +148,58 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     grid = (b * n, lq_p // bq, lk_p // bk)
 
-    kernel = functools.partial(_flash_kernel, block_k=bk, masked=masked)
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0)),
+    ]
+    scratch = [
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, 1), jnp.float32),
+        pltpu.VMEM((bq, d), jnp.float32),
+    ]
+    cparams = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"))
 
-    out = pl.pallas_call(
+    if not return_stats:
+        kernel = functools.partial(_flash_kernel, block_k=bk, masked=masked)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+                out_specs=pl.BlockSpec((1, bq, d),
+                                       lambda h, i, j, *_: (h, i, 0)),
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * n, lq_p, d), q.dtype),
+            compiler_params=cparams,
+        )(klens, qf, kf, vf)
+        return out[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(_flash_kernel_stats, block_k=bk,
+                               masked=masked)
+    out, m, l = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
+            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
+            out_specs=(
                 pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0)),
-                pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0)),
-                pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0)),
-            scratch_shapes=[
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, 1), jnp.float32),
-                pltpu.VMEM((bq, d), jnp.float32),
-            ],
+                pl.BlockSpec((1, bq), lambda h, i, j, *_: (h, i)),
+                pl.BlockSpec((1, bq), lambda h, i, j, *_: (h, i)),
+            ),
+            scratch_shapes=scratch,
         ),
-        out_shape=jax.ShapeDtypeStruct((b * n, lq_p, d), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * n, lq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b * n, lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, lq_p), jnp.float32),
+        ),
+        compiler_params=cparams,
     )(klens, qf, kf, vf)
-
     out = out[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
-    return out
+    m = m[:, :lq].reshape(b, n, lq).transpose(0, 2, 1)
+    l = l[:, :lq].reshape(b, n, lq).transpose(0, 2, 1)
+    return out, m, l
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -192,3 +239,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
     return _flash(q, k, v, k_lens, scale, block_q, block_k)
+
+
+def flash_attention_with_stats(q, k, v, k_lens=None, scale=None,
+                               block_q: int = DEFAULT_BLOCK_Q,
+                               block_k: int = DEFAULT_BLOCK_K):
+    """Forward + per-row softmax residuals: (out, m, l) with m/l shaped
+    [B, Lq, N]. Used by ring attention to merge partial results across
+    sequence shards (online-softmax combination)."""
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    return _flash_fwd(q, k, v, k_lens, scale, block_q, block_k,
+                      return_stats=True)

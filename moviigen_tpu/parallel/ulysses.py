@@ -79,18 +79,27 @@ def sequence_parallel_forward(
         seq_len: Optional[int] = None,
         compute_dtype=jnp.bfloat16, attn_backend: str = "auto",
         remat: bool = False,
+        sp_mode: str = "ulysses",
         clip_fea: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sequence-parallel WanModel forward over a (data, seq) mesh.
 
     Numerically equivalent to ``wan_model.forward`` (SP-invariance is a
     unit test); activations are context-parallel over ``seq`` through the
-    whole block stack.
+    whole block stack. ``sp_mode``:
+
+    - 'ulysses': all_to_all head↔seq reshard, full-sequence attention
+      with N/sp local heads (needs num_heads % sp == 0);
+    - 'ring': KV shards rotate via ppermute, no chip ever holds the full
+      sequence (the >per-chip-memory mode; ref --ring_size).
     """
     sp = mesh.shape["seq"]
-    assert cfg.num_heads % sp == 0, (
-        f"num_heads {cfg.num_heads} must divide by seq axis {sp} "
-        "(ref generate.py:238-239)")
+    if sp_mode == "ulysses":
+        assert cfg.num_heads % sp == 0, (
+            f"num_heads {cfg.num_heads} must divide by seq axis {sp} "
+            "(ref generate.py:238-239)")
+    elif sp_mode != "ring":
+        raise ValueError(f"unknown sp_mode: {sp_mode}")
 
     xt, e, e0, ctx, grid, k_lens = wan_model.embed_inputs(
         params, x, t, context, cfg, seq_len=seq_len,
@@ -103,10 +112,18 @@ def sequence_parallel_forward(
         k_lens = jnp.full((b,), l, jnp.int32)
     cos, sin = _padded_rope(rope, l)
 
-    def self_attn_fn(q, k, v, kl):
-        return ulysses_self_attention(
-            q, k, v, kl, axis_name="seq", attn_backend=attn_backend,
-            compute_dtype=compute_dtype)
+    if sp_mode == "ring":
+        from .ring import ring_self_attention
+
+        def self_attn_fn(q, k, v, kl):
+            return ring_self_attention(
+                q, k, v, kl, axis_name="seq", sp_size=sp,
+                attn_backend=attn_backend, compute_dtype=compute_dtype)
+    else:
+        def self_attn_fn(q, k, v, kl):
+            return ulysses_self_attention(
+                q, k, v, kl, axis_name="seq", attn_backend=attn_backend,
+                compute_dtype=compute_dtype)
 
     def inner(p, xt_s, e0_s, ctx_s, cos_s, sin_s, klens_s):
         rope_s = RopeTables(cos=cos_s, sin=sin_s)

@@ -51,10 +51,12 @@ class WanT2V:
                  init_seed: int = 0,
                  attn_backend: str = "auto",
                  mesh=None,
-                 sp_size: Optional[int] = None):
+                 sp_size: Optional[int] = None,
+                 sp_mode: str = "ulysses"):
         self.config = config
         self.attn_backend = attn_backend
         self.mesh = mesh
+        self.sp_mode = sp_mode
         self.num_train_timesteps = config.num_train_timesteps
         self.vae_stride = config.vae_stride
         self.patch_size = config.model.patch_size
@@ -150,7 +152,8 @@ class WanT2V:
 
                     pred = sequence_parallel_forward(
                         dit_params, x2, t2, ctx_pair, cfg, rope, mesh,
-                        seq_len=seq_len, attn_backend=backend)
+                        seq_len=seq_len, attn_backend=backend,
+                        sp_mode=self.sp_mode)
                 else:
                     pred = wan_model.forward(
                         dit_params, x2, t2, ctx_pair, cfg, rope,

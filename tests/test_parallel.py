@@ -82,3 +82,36 @@ def test_ulysses_head_divisibility_assert(setup):
         sequence_parallel_forward(
             params, x, t, ctx, CFG, rope, mesh,
             compute_dtype=jnp.float32, attn_backend="xla")
+
+
+@pytest.mark.parametrize("data,seq", [(1, 4), (2, 2)])
+def test_ring_sp_invariance(setup, data, seq):
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=data, seq=seq)
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh, sp_mode="ring",
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_sp_with_padded_seq(setup):
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=1, seq=4)
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh, seq_len=72, sp_mode="ring",
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_allows_indivisible_heads(setup):
+    """heads=4, sp=8: ulysses would assert, ring must work...
+    but 64 tokens / 8 ranks needs seq_len multiple → use seq_len=64."""
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=1, seq=8)
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh, sp_mode="ring",
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
