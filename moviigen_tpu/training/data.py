@@ -107,30 +107,37 @@ class LatentDataset:
     def __len__(self) -> int:
         return len(self.data_anno)
 
-    def __getitem__(self, idx: int):
+    def _resolve_latent_dir(self, idx: int) -> str:
         import random
 
-        anno = self.data_anno[idx]
         latent_dir = self.latent_dir
         if self.resolution_mix is not None:
             local = random.Random(self.base_seed + self.epoch + idx)
             if local.random() < self.resolution_mix_p:
                 latent_dir = os.path.join(self.dataset_dir,
                                           self.resolution_mix)
+        return latent_dir
 
-        latent = load_tensor(os.path.join(latent_dir, anno["latent_path"]))
+    def item_npy_paths(self, idx: int):
+        """(latent_path, embed_path) when both are plain .npy and the
+        item takes the standard path — enables the native batch reader.
+        None → caller must use __getitem__."""
+        if self.cfg_rate > 0:
+            return None
+        anno = self.data_anno[idx]
+        lat = os.path.join(self._resolve_latent_dir(idx),
+                           anno["latent_path"])
+        emb = os.path.join(self.prompt_embed_dir, anno[self.prompt_type])
+        if not (lat.endswith(".npy") and emb.endswith(".npy")):
+            return None
+        return lat, emb
+
+    def materialize(self, latent: np.ndarray, embed: np.ndarray):
+        """Apply the trim/pad/mask post-processing to raw cache arrays
+        (same transforms as __getitem__)."""
         if latent.ndim == 5:
             latent = latent[0]
-        latent = latent[:, -self.num_latent_t:]  # ref L98
-
-        if random.random() < self.cfg_rate:
-            # uncond zero-embedding draw (ref L52-54; asserted-unreachable
-            # there because cfg_rate defaults to 0)
-            return (latent.astype(np.float32), self.uncond_prompt_embed,
-                    self.uncond_prompt_mask)
-
-        embed = load_tensor(
-            os.path.join(self.prompt_embed_dir, anno[self.prompt_type]))
+        latent = latent[:, -self.num_latent_t:]
         orig_len = embed.shape[0]
         if self.txt_max_len > 0:
             if orig_len < self.txt_max_len:
@@ -145,6 +152,25 @@ class LatentDataset:
         else:
             mask = np.ones((orig_len,), np.int64)
         return latent.astype(np.float32), embed.astype(np.float32), mask
+
+    def __getitem__(self, idx: int):
+        import random
+
+        anno = self.data_anno[idx]
+        latent = load_tensor(os.path.join(self._resolve_latent_dir(idx),
+                                          anno["latent_path"]))
+        if random.random() < self.cfg_rate:
+            # uncond zero-embedding draw (ref L52-54; asserted-unreachable
+            # there because cfg_rate defaults to 0)
+            if latent.ndim == 5:
+                latent = latent[0]
+            latent = latent[:, -self.num_latent_t:]
+            return (latent.astype(np.float32), self.uncond_prompt_embed,
+                    self.uncond_prompt_mask)
+
+        embed = load_tensor(
+            os.path.join(self.prompt_embed_dir, anno[self.prompt_type]))
+        return self.materialize(latent, embed)
 
 
 def latent_collate_function(batch):
@@ -281,18 +307,42 @@ class SPAwareAspectRatioLengthBucketDistributedSampler(
 
 
 class DataLoader:
-    """Minimal host-side loader: sampler-driven, batched via collate,
-    optional background thread prefetch (the native C++ prefetch loader
-    is the planned upgrade)."""
+    """Host-side loader: sampler-driven, batched via collate, background
+    thread prefetch, with the native C++ reader pool
+    (``moviigen_tpu.native``) reading a whole batch's .npy caches
+    concurrently outside the GIL when available."""
 
     def __init__(self, dataset, sampler, batch_size: int,
                  collate_fn=latent_collate_function,
-                 prefetch: int = 2):
+                 prefetch: int = 2, use_native: bool = True):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        self._pool = None
+        if use_native:
+            try:
+                from ..native import NativeReaderPool, native_available
+
+                if native_available():
+                    self._pool = NativeReaderPool(num_threads=4)
+            except Exception:
+                self._pool = None
+
+    def _load_batch_items(self, idxs):
+        if self._pool is not None and hasattr(self.dataset,
+                                             "item_npy_paths"):
+            from ..native import read_npy_batch
+
+            paths = [self.dataset.item_npy_paths(i) for i in idxs]
+            if all(p is not None for p in paths):
+                flat = [p for pair in paths for p in pair]
+                arrays = read_npy_batch(self._pool, flat)
+                return [self.dataset.materialize(arrays[2 * i],
+                                                 arrays[2 * i + 1])
+                        for i in range(len(idxs))]
+        return [self.dataset[i] for i in idxs]
 
     def __iter__(self):
         import queue
@@ -301,9 +351,9 @@ class DataLoader:
         def batches():
             buf = []
             for idx in self.sampler:
-                buf.append(self.dataset[idx])
+                buf.append(idx)
                 if len(buf) == self.batch_size:
-                    yield self.collate_fn(buf)
+                    yield self.collate_fn(self._load_batch_items(buf))
                     buf = []
 
         if self.prefetch <= 0:
