@@ -86,7 +86,10 @@ def main(argv=None):
     from ..configs import WAN_CONFIGS
     from ..models import wan_model
     from ..ops.rope import rope_3d_freqs
+    from ..parallel.distributed import maybe_initialize_distributed
     from ..parallel.mesh import make_mesh
+
+    maybe_initialize_distributed()
     from ..training import TrainConfig
     from ..training.checkpoint import (latest_checkpoint,
                                        restore_checkpoint, save_checkpoint)
@@ -277,6 +280,14 @@ def main(argv=None):
             "context": NamedSharding(mesh, P("data")),
         }
 
+    from ..utils.profiling import PhaseTimer, trace
+
+    timer = PhaseTimer(enabled=args.profile_steps > 0)
+    profile_ctx = trace(os.path.join(args.output_dir, "profile")) \
+        if args.profile_steps > 0 else None
+    if profile_ctx is not None:
+        profile_ctx.__enter__()
+
     while step < args.max_train_steps:
         sampler.set_epoch(epoch)
         dataset.set_epoch(epoch)
@@ -292,10 +303,16 @@ def main(argv=None):
                 batch = {k: jax.device_put(v, data_sharding[k])
                          for k, v in batch.items()}
             key, sub = jax.random.split(key)
-            trainable, opt_state, metrics = jit_step(
-                trainable, opt_state, params if args.use_lora else None,
-                batch, sub)
-            loss = float(metrics["loss"])
+            with timer.phase("step", sync_tree=None):
+                trainable, opt_state, metrics = jit_step(
+                    trainable, opt_state,
+                    params if args.use_lora else None, batch, sub)
+            loss = float(metrics["loss"])  # scalar readback = sync point
+            if profile_ctx is not None and step + 1 >= args.profile_steps:
+                profile_ctx.__exit__(None, None, None)
+                profile_ctx = None
+                logging.info("profiler trace written; phases: %s",
+                             timer.report())
             step += 1
             step_counter[0] = step
             dt = time.perf_counter() - t0

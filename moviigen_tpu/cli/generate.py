@@ -105,8 +105,11 @@ def _parse_args(argv=None):
 def generate(args) -> str:
     import jax
 
+    from ..parallel.distributed import maybe_initialize_distributed
     from ..parallel.mesh import make_mesh
     from ..pipelines.text2video import WanT2V
+
+    maybe_initialize_distributed()
 
     logging.basicConfig(
         level=logging.INFO,

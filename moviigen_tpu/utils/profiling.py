@@ -1,0 +1,76 @@
+"""Profiling / tracing utilities.
+
+Parity: the reference's manual phase timing with cuda.synchronize around
+prep/forward/loss/optimizer (``finetune.py:190-263``, ``timing_stats``)
+and TensorBoard ``time/*`` scalars. TPU-native upgrades:
+
+- ``jax.profiler`` trace capture (XLA op-level profiles come free — the
+  reference had no torch.profiler integration at all);
+- a phase timer that synchronizes via scalar readback (robust against
+  async dispatch, including remote-TPU relays where
+  ``block_until_ready`` can return early).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def sync(tree=None) -> None:
+    """Synchronize with device completion. With a pytree argument, forces
+    a scalar readback of one leaf (reliable everywhere); otherwise blocks
+    on all live arrays."""
+    if tree is None:
+        (jax.effects_barrier if hasattr(jax, "effects_barrier")
+         else lambda: None)()
+        return
+    leaves = jax.tree_util.tree_leaves(tree)
+    if leaves:
+        first = leaves[0]
+        jnp.asarray(first).reshape(-1)[0].item()
+
+
+class PhaseTimer:
+    """Accumulates per-phase wall-clock stats (ref ``timing_stats``)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = enabled
+        self.totals: Dict[str, float] = defaultdict(float)
+        self.counts: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync_tree=None):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        yield
+        if sync_tree is not None:
+            sync(sync_tree)
+        dt = time.perf_counter() - t0
+        self.totals[name] += dt
+        self.counts[name] += 1
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self.totals[k] / max(1, self.counts[k])
+                for k in self.totals}
+
+    def report(self) -> str:
+        return " ".join(f"{k}={v * 1e3:.1f}ms"
+                        for k, v in sorted(self.averages().items()))
