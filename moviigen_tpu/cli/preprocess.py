@@ -32,6 +32,11 @@ def _parse_args(argv=None):
     p.add_argument("--data_merge_path", type=str, required=True)
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--task", type=str, default="t2v-14B")
+    p.add_argument("--dataset", type=str, default="t2v",
+                   choices=["t2v", "i2v"],
+                   help="i2v additionally caches first-frame mask+latent "
+                        "conditioning (y) and CLIP features "
+                        "(ref preprocess_wan_dataset.py:489-536)")
     p.add_argument("--model_path", type=str, default=None,
                    help="checkpoint dir for VAE/T5 (random if unset)")
     p.add_argument("--num_frames", type=int, default=81)
@@ -118,6 +123,24 @@ def main(argv=None):
     t5_encode = jax.jit(lambda p, ids, mask: t5m.encode(p, ids, mask,
                                                         cfg.t5))
 
+    clip_params = clip_cfg = None
+    if args.dataset == "i2v":
+        from ..models import clip as clipm
+
+        clip_cfg = clipm.CLIPVisionConfig()
+        clip_ckpt = os.path.join(
+            args.model_path or "",
+            "models_clip_open-clip-xlm-roberta-large-vit-huge-14.pth")
+        if args.model_path and os.path.exists(clip_ckpt):
+            clip_params = clipm.load_clip_checkpoint(clip_ckpt, clip_cfg)
+        else:
+            logging.warning("random-init CLIP tower for i2v caching")
+            clip_params = clipm.init_vision_params(
+                jax.random.PRNGKey(args.seed + 2), clip_cfg)
+        os.makedirs(os.path.join(args.output_dir, "y"), exist_ok=True)
+        os.makedirs(os.path.join(args.output_dir, "clip_feature"),
+                    exist_ok=True)
+
     bin_crop_sizes = None
     if args.crop_height and args.crop_width:
         bin_crop_sizes = [
@@ -163,6 +186,26 @@ def main(argv=None):
                 "aspect_ratio_bin":
                     sample["metadata"]["aspect_ratio_bin"],
             }
+
+            if args.dataset == "i2v":
+                from ..pipelines.image2video import build_i2v_conditioning
+
+                pix = sample["pixel_values"]  # [3, T, H, W]
+                frames = pix.shape[1]
+                h_crop, w_crop = pix.shape[2], pix.shape[3]
+                y, clip_fea = build_i2v_conditioning(
+                    vae_params, clip_params,
+                    jnp.asarray(pix[:, 0]), frames, (w_crop, h_crop),
+                    cfg.vae, clip_cfg)
+                np.save(os.path.join(args.output_dir, "y",
+                                     f"{name}.npy"),
+                        np.asarray(y, np.float32))
+                np.save(os.path.join(args.output_dir, "clip_feature",
+                                     f"{name}.npy"),
+                        np.asarray(clip_fea[0], np.float32))
+                meta["y_path"] = f"{name}.npy"
+                meta["clip_feature_path"] = f"{name}.npy"
+
             metadata_items.append(meta)
             processed.add(item_key)
         except Exception as e:  # per-item fault tolerance (ref L556-567)

@@ -176,11 +176,32 @@ def _tiny_test() -> PipelineConfig:
     )
 
 
+def _i2v_14b() -> PipelineConfig:
+    """i2v model variant (Wan2.1 family): in_dim = z + mask(4) + z = 36.
+
+    The reference ships the i2v code paths but no i2v weights
+    (SURVEY §7.2 item 11); config provided for the full capability
+    surface."""
+    base = _t2v_14b()
+    return base.replace(
+        name="i2v-14B",
+        model=base.model.replace(model_type="i2v", in_dim=36))
+
+
+def _i2v_tiny() -> PipelineConfig:
+    base = _tiny_test()
+    return base.replace(
+        name="i2v-tiny",
+        model=base.model.replace(model_type="i2v", in_dim=12))
+
+
 WAN_CONFIGS = {
     "t2v-14B": _t2v_14b(),
     "t2i-14B": dataclasses.replace(_t2v_14b(), name="t2i-14B"),
+    "i2v-14B": _i2v_14b(),
     "t2v-1.3B": _t2v_1_3b(),
     "t2v-tiny": _tiny_test(),
+    "i2v-tiny": _i2v_tiny(),
 }
 
 # ref: wan/configs/__init__.py:18-31
@@ -215,6 +236,8 @@ SUPPORTED_SIZES = {
         "1280*560", "560*1280",
     ),
     "t2v-1.3B": ("480*832", "832*480"),
+    "i2v-14B": ("720*1280", "1280*720", "480*832", "832*480"),
     "t2v-tiny": tuple(SIZE_CONFIGS.keys()),
+    "i2v-tiny": tuple(SIZE_CONFIGS.keys()),
     "t2i-14B": tuple(SIZE_CONFIGS.keys()),
 }

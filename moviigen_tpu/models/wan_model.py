@@ -78,7 +78,7 @@ def init_params(key: jax.Array, cfg: WanModelConfig,
     def block_init(bkey):
         bk = iter(jax.random.split(bkey, 16))
 
-        def attn(k1):
+        def attn(k1, img=False):
             ks = iter(jax.random.split(k1, 8))
             p = {
                 "q": _linear(next(ks), d, d, dtype),
@@ -89,11 +89,16 @@ def init_params(key: jax.Array, cfg: WanModelConfig,
             if cfg.qk_norm:
                 p["norm_q"] = {"scale": jnp.ones((d,), jnp.float32)}
                 p["norm_k"] = {"scale": jnp.ones((d,), jnp.float32)}
+            if img:  # i2v image-token k/v (ref model.py:194-197)
+                p["k_img"] = _linear(next(ks), d, d, dtype)
+                p["v_img"] = _linear(next(ks), d, d, dtype)
+                if cfg.qk_norm:
+                    p["norm_k_img"] = {"scale": jnp.ones((d,), jnp.float32)}
             return p
 
         p = {
             "self_attn": attn(next(bk)),
-            "cross_attn": attn(next(bk)),
+            "cross_attn": attn(next(bk), img=cfg.model_type == "i2v"),
             "ffn": {
                 "fc1": _linear(next(bk), d, fd, dtype),
                 "fc2": _linear(next(bk), fd, d, dtype),

@@ -136,3 +136,51 @@ def test_init_params_forward_runs_bf16():
     assert out.shape == (2, CFG.out_dim, 3, 8, 8)
     assert out.dtype == jnp.float32
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_i2v_forward_parity():
+    """i2v variant: CLIP-token cross-attention + y channel concat."""
+    import torch
+
+    i2v_cfg = CFG.replace(model_type="i2v", in_dim=8)
+    torch.manual_seed(1)
+    ref = ref_loader.load_ref_model()
+    model = ref.WanModel(
+        model_type="i2v", patch_size=list(i2v_cfg.patch_size),
+        text_len=i2v_cfg.text_len, in_dim=i2v_cfg.in_dim,
+        dim=i2v_cfg.dim, ffn_dim=i2v_cfg.ffn_dim,
+        freq_dim=i2v_cfg.freq_dim, text_dim=i2v_cfg.text_dim,
+        out_dim=i2v_cfg.out_dim, num_heads=i2v_cfg.num_heads,
+        num_layers=i2v_cfg.num_layers, qk_norm=i2v_cfg.qk_norm,
+        cross_attn_norm=i2v_cfg.cross_attn_norm,
+        eps=i2v_cfg.eps).eval().float()
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = convert_wan_state_dict(sd, i2v_cfg, dtype=jnp.float32)
+
+    rng = np.random.default_rng(3)
+    f, h, w = 3, 4, 4
+    x = rng.standard_normal((4, f, h, w)).astype(np.float32)
+    y = rng.standard_normal((4, f, h, w)).astype(np.float32)
+    ctx = rng.standard_normal((6, i2v_cfg.text_dim)).astype(np.float32)
+    clip_fea = rng.standard_normal((1, 257, 1280)).astype(np.float32)
+    grid = (f, h // 2, w // 2)
+    tokens = grid[0] * grid[1] * grid[2]
+
+    with torch.no_grad():
+        want = model(
+            [torch.from_numpy(x)], t=torch.tensor([333.0]),
+            context=[torch.from_numpy(ctx)], seq_len=tokens,
+            clip_fea=torch.from_numpy(clip_fea),
+            y=[torch.from_numpy(y)])[0].numpy()
+
+    ctx_pad = np.zeros((1, i2v_cfg.text_len, i2v_cfg.text_dim), np.float32)
+    ctx_pad[0, :6] = ctx
+    rope = rope_3d_freqs(grid, i2v_cfg.head_dim)
+    got = np.asarray(wan_model.forward(
+        params, jnp.asarray(x[None]), jnp.asarray([333.0]),
+        jnp.asarray(ctx_pad), i2v_cfg, rope,
+        compute_dtype=jnp.float32, attn_backend="xla",
+        clip_fea=jnp.asarray(clip_fea), y=jnp.asarray(y[None])))[0]
+
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)

@@ -107,3 +107,67 @@ def test_preprocess_cli_and_finetune_chain(raw_dataset, tmp_path):
         "--max_train_steps", "2",
         "--checkpointing_steps", "100",
     ])
+
+
+def test_split_stage_preprocess(raw_dataset, tmp_path):
+    """vae stage → text stage → validation stage (tiny config)."""
+    from moviigen_tpu.cli.preprocess_stages import main as stages_main
+
+    merge, base = raw_dataset
+    out = tmp_path / "stages"
+    temp_json = stages_main([
+        "vae", "--data_merge_path", merge, "--output_dir", str(out),
+        "--task", "t2v-tiny", "--num_frames", "9", "--train_fps", "16",
+        "--max_height", "36", "--max_width", "64",
+        "--drop_short_ratio", "0.0",
+        "--video_length_tolerance_range", "5.0",
+        "--crop_height", "32", "--crop_width", "48",
+    ])
+    items = json.loads(open(temp_json).read())
+    assert len(items) == 4 and "latent_path" in items[0]
+
+    final_json = stages_main([
+        "text", "--json_path", temp_json, "--output_dir", str(out),
+        "--task", "t2v-tiny", "--pad_to", "8",
+    ])
+    items = json.loads(open(final_json).read())
+    assert all("prompt_embed_path" in i for i in items)
+    emb = np.load(out / "prompt_embed" / items[0]["prompt_embed_path"])
+    assert emb.shape[0] >= 8  # padded to at least pad_to
+
+    prompts = tmp_path / "vprompts"
+    prompts.mkdir()
+    (prompts / "p0.txt").write_text("validation prompt zero")
+    vdir = stages_main([
+        "validation", "--prompt_dir", str(prompts),
+        "--output_dir", str(out), "--task", "t2v-tiny",
+    ])
+    assert (out / "validation_embed" / "p0.npy").exists()
+
+
+def test_preprocess_i2v_branch(raw_dataset, tmp_path):
+    from moviigen_tpu.cli.preprocess import main as preprocess_main
+
+    merge, _ = raw_dataset
+    out = tmp_path / "pre_i2v"
+    out_json = preprocess_main([
+        "--data_merge_path", merge,
+        "--output_dir", str(out),
+        "--task", "i2v-tiny",
+        "--dataset", "i2v",
+        "--num_frames", "9",
+        "--train_fps", "16",
+        "--max_height", "36",
+        "--max_width", "64",
+        "--drop_short_ratio", "0.0",
+        "--video_length_tolerance_range", "5.0",
+        "--crop_height", "32", "--crop_width", "48",
+    ])
+    annos = json.loads(open(out_json).read())
+    assert len(annos) == 4
+    assert "y_path" in annos[0] and "clip_feature_path" in annos[0]
+    y = np.load(out / "y" / annos[0]["y_path"])
+    # y channels = mask(4) + z_dim(4); latent frames (9-1)/4+1 = 3
+    assert y.shape[0] == 8 and y.shape[1] == 3
+    cf = np.load(out / "clip_feature" / annos[0]["clip_feature_path"])
+    assert cf.shape == (257, 1280)
