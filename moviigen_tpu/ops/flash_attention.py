@@ -14,9 +14,11 @@ Kernel structure (standard TPU online-softmax flash):
 - logits/accumulation in fp32 (MXU ``preferred_element_type``); inputs
   bf16.
 
-The backward pass uses a memory-bounded chunked XLA fallback
-(``attention.py`` backend='chunked') until the Pallas bwd kernel lands;
-the forward is wired with ``jax.custom_vjp`` accordingly.
+The backward pass is fully fused Pallas (custom_vjp): the forward saves
+per-row softmax residuals (m, l); separate dKV and dQ kernels recompute
+the probabilities blockwise (guide §7 structure) — no O(L²) matrices in
+HBM in either direction. ``ops/attention.py`` backend='chunked' remains
+as a differentiable XLA oracle.
 """
 
 from __future__ import annotations
@@ -50,8 +52,8 @@ def _flash_kernel_stats(klen_ref, q_ref, k_ref, v_ref,
 
     @pl.when(j == nk - 1)
     def _store_stats():
-        m_out_ref[0] = m_scratch[:, 0][None, :]
-        l_out_ref[0] = l_scratch[:, 0][None, :]
+        m_out_ref[0, 0] = m_scratch[:, 0]
+        l_out_ref[0, 0] = l_scratch[:, 0]
 
 
 def _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
@@ -184,22 +186,218 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0)),
-                pl.BlockSpec((1, bq), lambda h, i, j, *_: (h, i)),
-                pl.BlockSpec((1, bq), lambda h, i, j, *_: (h, i)),
+                pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, i)),
+                pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, i)),
             ),
             scratch_shapes=scratch,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b * n, lq_p, d), q.dtype),
-            jax.ShapeDtypeStruct((b * n, lq_p), jnp.float32),
-            jax.ShapeDtypeStruct((b * n, lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, 1, lq_p), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, 1, lq_p), jnp.float32),
         ),
         compiler_params=cparams,
     )(klens, qf, kf, vf)
     out = out[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
-    m = m[:, :lq].reshape(b, n, lq).transpose(0, 2, 1)
-    l = l[:, :lq].reshape(b, n, lq).transpose(0, 2, 1)
+    m = m[:, 0, :lq].reshape(b, n, lq).transpose(0, 2, 1)
+    l = l[:, 0, :lq].reshape(b, n, lq).transpose(0, 2, 1)
     return out, m, l
+
+
+# --------------------------------------------------------------------------
+# backward kernels (dKV + dQ; the guide's §7 structure)
+# --------------------------------------------------------------------------
+
+
+def _flash_bwd_dkv_kernel(klen_ref, q_ref, do_ref, k_ref, v_ref,
+                          m_ref, l_ref, di_ref, dk_ref, dv_ref,
+                          dk_scratch, dv_scratch,
+                          *, block_q: int, masked: bool):
+    """grid = (B·N, KV blocks, Q blocks); Q dim sequential, dk/dv
+    accumulate in VMEM scratch. q is pre-scaled by the softmax scale."""
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0]      # [BQ, D]
+    do = do_ref[0]    # [BQ, D]
+    k = k_ref[0]      # [BK, D]
+    v = v_ref[0]
+    m = m_ref[0, 0]   # [BQ] row-max
+    l = l_ref[0, 0]   # [BQ] normalizer
+    di = di_ref[0, 0]  # [BQ] = sum(o · do)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # [BQ, BK]
+    if masked:
+        klen = klen_ref[pl.program_id(0)]
+        key_idx = pl.program_id(1) * s.shape[1] + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(key_idx < klen, s, _NEG_INF)
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m[:, None]) * l_inv[:, None]             # [BQ, BK]
+
+    dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
+        p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [BK, D]
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [BQ, BK]
+    ds = p * (dp - di[:, None])
+
+    dk_scratch[:] = dk_scratch[:] + jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # [BK, D]
+
+    @pl.when(qi == nq - 1)
+    def _store():
+        dk_ref[0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dq_kernel(klen_ref, q_ref, do_ref, k_ref, v_ref,
+                         m_ref, l_ref, di_ref, dq_ref, dq_scratch,
+                         *, block_k: int, masked: bool):
+    """grid = (B·N, Q blocks, KV blocks); KV dim sequential."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    m = m_ref[0, 0]
+    l = l_ref[0, 0]
+    di = di_ref[0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if masked:
+        klen = klen_ref[pl.program_id(0)]
+        key_idx = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, dimension=1)
+        s = jnp.where(key_idx < klen, s, _NEG_INF)
+
+    l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+    p = jnp.exp(s - m[:, None]) * l_inv[:, None]
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - di[:, None])
+    dq_scratch[:] = dq_scratch[:] + jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _store():
+        dq_ref[0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd(q, k, v, k_lens, o, m, l, do, scale, block_q, block_k):
+    """Pallas backward: returns (dq, dk, dv) in the input layout."""
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+
+    qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
+        .reshape(b * n, lq, d)
+    dof = do.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b * n, lq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
+    # m/l arrive as [B, Lq, N] fp32 → [B·N, 1, Lq] (TPU block tiling)
+    mf = m.transpose(0, 2, 1).reshape(b * n, 1, lq)
+    lf = l.transpose(0, 2, 1).reshape(b * n, 1, lq)
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                 axis=-1)  # [B, Lq, N]
+    dif = di.transpose(0, 2, 1).reshape(b * n, 1, lq)
+
+    bq = min(block_q, lq)
+    bk = min(block_k, lk)
+    lq_p = -(-lq // bq) * bq
+    lk_p = -(-lk // bk) * bk
+    if lq_p != lq:
+        pad = ((0, 0), (0, lq_p - lq), (0, 0))
+        qf = jnp.pad(qf, pad)
+        dof = jnp.pad(dof, pad)
+        # +BIG so exp(s − m) underflows to 0 for padded q rows (their
+        # do is 0, but inf·0 = NaN would otherwise poison dk/dv)
+        mf = jnp.pad(mf, ((0, 0), (0, 0), (0, lq_p - lq)),
+                     constant_values=-_NEG_INF)
+        lf = jnp.pad(lf, ((0, 0), (0, 0), (0, lq_p - lq)))
+        dif = jnp.pad(dif, ((0, 0), (0, 0), (0, lq_p - lq)))
+    if lk_p != lk:
+        pad = ((0, 0), (0, lk_p - lk), (0, 0))
+        kf = jnp.pad(kf, pad)
+        vf = jnp.pad(vf, pad)
+
+    masked = k_lens is not None or lk_p != lk
+    if k_lens is None:
+        klens = jnp.full((b,), lk, jnp.int32)
+    else:
+        klens = k_lens.astype(jnp.int32)
+    klens = jnp.repeat(klens, n)
+
+    qspec = pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, j, 0))
+    kspec = pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, i, 0))
+    statq = pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, j))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=bq,
+                          masked=masked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * n, lk_p // bk, lq_p // bq),
+            in_specs=[qspec, qspec, kspec, kspec, statq, statq, statq],
+            out_specs=(
+                pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, i, 0)),
+                pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, i, 0)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, d), jnp.float32),
+                pltpu.VMEM((bk, d), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * n, lk_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * n, lk_p, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(klens, qf, dof, kf, vf, mf, lf, dif)
+
+    qspec2 = pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0))
+    kspec2 = pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0))
+    statq2 = pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, i))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=bk,
+                          masked=masked),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b * n, lq_p // bq, lk_p // bk),
+            in_specs=[qspec2, qspec2, kspec2, kspec2, statq2, statq2,
+                      statq2],
+            out_specs=pl.BlockSpec((1, bq, d),
+                                   lambda h, i, j, *_: (h, i, 0)),
+            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * n, lq_p, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(klens, qf, dof, kf, vf, mf, lf, dif)
+
+    dq = dq[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
+    dq = dq * jnp.float32(scale)  # chain rule for the pre-scaled q
+    dk = dk[:, :lk].reshape(b, n, lk, d).transpose(0, 2, 1, 3)
+    dv = dv[:, :lk].reshape(b, n, lk, d).transpose(0, 2, 1, 3)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -208,22 +406,16 @@ def _flash(q, k, v, k_lens, scale, block_q, block_k):
 
 
 def _flash_vjp_fwd(q, k, v, k_lens, scale, block_q, block_k):
-    out = _flash_fwd(q, k, v, k_lens, scale, block_q, block_k)
-    return out, (q, k, v, k_lens)
+    out, m, l = _flash_fwd(q, k, v, k_lens, scale, block_q, block_k,
+                           return_stats=True)
+    return out, (q, k, v, k_lens, out, m, l)
 
 
 def _flash_vjp_bwd(scale, block_q, block_k, res, g):
-    """Backward via the chunked differentiable reference (memory-bounded);
-    a fused Pallas bwd kernel is the planned replacement."""
-    from .attention import _chunked_attention
-
-    q, k, v, k_lens = res
-
-    def f(q, k, v):
-        return _chunked_attention(q, k, v, k_lens, scale, block_k)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return (*vjp(g), None)
+    q, k, v, k_lens, o, m, l = res
+    dq, dk, dv = _flash_bwd(q, k, v, k_lens, o, m, l, g, scale,
+                            block_q, block_k)
+    return (dq, dk, dv, None)
 
 
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -40,16 +40,23 @@ def test_pallas_interpret_matches_xla(shape):
                                atol=2e-5, rtol=1e-4)
 
 
-def _interp_flash(q, k, v, k_lens=None, **kw):
-    """Run the Pallas kernel in interpreter mode (CPU)."""
+def _interp():
+    """Context manager forcing Pallas interpreter mode (CPU)."""
     import functools
     from unittest import mock
 
     from moviigen_tpu.ops import flash_attention as fa
 
-    with mock.patch.object(
-            fa.pl, "pallas_call",
-            functools.partial(_orig_pallas_call, interpret=True)):
+    return mock.patch.object(
+        fa.pl, "pallas_call",
+        functools.partial(_orig_pallas_call, interpret=True))
+
+
+def _interp_flash(q, k, v, k_lens=None, **kw):
+    """Run the Pallas kernel in interpreter mode (CPU)."""
+    from moviigen_tpu.ops import flash_attention as fa
+
+    with _interp():
         return fa.flash_attention(q, k, v, k_lens=k_lens, **kw)
 
 
@@ -74,7 +81,8 @@ def test_flash_grad_via_chunked_bwd():
             attention(q, k, v, backend="xla",
                       compute_dtype=jnp.float32) ** 2)
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    with _interp():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -99,3 +107,46 @@ def test_chunked_differentiable():
 
     g = jax.grad(f)(q)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_flash_pallas_bwd_matches_xla():
+    """The fused Pallas backward (dq/dk/dv kernels) vs autodiff through
+    the XLA oracle."""
+    q, k, v = _rand_qkv(2, 160, 2, 32, seed=5)
+    k_lens = jnp.asarray([160, 90], jnp.int32)
+
+    def loss_flash(q, k, v):
+        out = _interp_flash(q, k, v, k_lens=k_lens, block_q=64, block_k=64)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        out = attention(q, k, v, k_lens=k_lens, backend="xla",
+                        compute_dtype=jnp.float32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    with _interp():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3,
+            err_msg=f"d{name} mismatch")
+
+
+def test_flash_pallas_bwd_uneven_blocks():
+    """Padded q/k blocks in the backward (L not a block multiple)."""
+    q, k, v = _rand_qkv(1, 100, 3, 16, seed=6)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(_interp_flash(q, k, v, block_q=64, block_k=64) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, backend="xla",
+                                 compute_dtype=jnp.float32) ** 2)
+
+    with _interp():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
