@@ -164,6 +164,11 @@ def main(argv=None):
         lora = init_lora_params(jax.random.PRNGKey(args.seed + 1), params,
                                 rank=args.lora_rank)
 
+    if mesh is not None:
+        from ..parallel.sharding import dit_param_specs, shard_params
+
+        params = shard_params(mesh, params, dit_param_specs(params))
+
     # trainable tree = lora or full params
     trainable = lora if args.use_lora else params
 
@@ -191,7 +196,7 @@ def main(argv=None):
             return sequence_parallel_forward(
                 p, noisy, t, ctx, mcfg, rope, mesh,
                 seq_len=seq_len if seq_len > tokens else None,
-                remat=tc.remat)
+                remat=tc.remat, fsdp_params=True)
         return wan_model.forward(
             p, noisy, t, ctx, mcfg, rope,
             seq_len=seq_len if seq_len > tokens else None, remat=tc.remat)

@@ -399,11 +399,20 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
                ctx: jnp.ndarray, cfg: WanModelConfig, rope: RopeTables,
                k_lens: Optional[jnp.ndarray],
                compute_dtype=jnp.bfloat16, attn_backend: str = "auto",
-               remat: bool = False, self_attn_fn=None) -> jnp.ndarray:
-    """Scan the AdaLN block stack over the fp32 residual stream."""
+               remat: bool = False, self_attn_fn=None,
+               param_gather_fn=None) -> jnp.ndarray:
+    """Scan the AdaLN block stack over the fp32 residual stream.
+
+    ``param_gather_fn`` (FSDP analog): applied to each layer's param
+    slice inside the scan body — under ``shard_map`` it all-gathers
+    weight shards just-in-time per layer (and its transpose
+    reduce-scatters the weight grads), reproducing torch-FSDP
+    FULL_SHARD-per-block behavior (ref wan/distributed/fsdp.py:17-31)."""
     xr = xt.astype(jnp.float32)
 
     def body(carry, bp):
+        if param_gather_fn is not None:
+            bp = param_gather_fn(bp)
         out = attention_block(bp, carry, e0, ctx, cfg, rope, k_lens,
                               compute_dtype, attn_backend,
                               self_attn_fn=self_attn_fn)

@@ -80,6 +80,7 @@ def sequence_parallel_forward(
         compute_dtype=jnp.bfloat16, attn_backend: str = "auto",
         remat: bool = False,
         sp_mode: str = "ulysses",
+        fsdp_params: bool = False,
         clip_fea: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sequence-parallel WanModel forward over a (data, seq) mesh.
@@ -125,14 +126,39 @@ def sequence_parallel_forward(
                 q, k, v, kl, axis_name="seq", attn_backend=attn_backend,
                 compute_dtype=compute_dtype)
 
+    param_gather_fn = None
+    if fsdp_params:
+        # params enter shard_map sharded per dit_param_specs (FSDP at
+        # rest); each layer's shards all-gather just-in-time inside the
+        # scan body — grads reduce-scatter on the reverse pass.
+        from .sharding import dit_param_specs
+
+        pspecs = dit_param_specs(params, axis="seq")
+        block_specs = pspecs["blocks"]
+
+        def gather_leaf(leaf, spec):
+            # spec includes the leading layer dim the scan has sliced off
+            for i, ax in enumerate(spec):
+                if ax == "seq":
+                    return jax.lax.all_gather(leaf, "seq", axis=i - 1,
+                                              tiled=True)
+            return leaf
+
+        def param_gather_fn(bp):
+            return jax.tree_util.tree_map(
+                gather_leaf, bp, block_specs,
+                is_leaf=lambda x: isinstance(x, P))
+    else:
+        pspecs = jax.tree_util.tree_map(lambda _: P(), params)
+
     def inner(p, xt_s, e0_s, ctx_s, cos_s, sin_s, klens_s):
         rope_s = RopeTables(cos=cos_s, sin=sin_s)
         return wan_model.run_blocks(
             p, xt_s, e0_s, ctx_s, cfg, rope_s, klens_s,
             compute_dtype=compute_dtype, attn_backend=attn_backend,
-            remat=remat, self_attn_fn=self_attn_fn)
+            remat=remat, self_attn_fn=self_attn_fn,
+            param_gather_fn=param_gather_fn)
 
-    pspecs = jax.tree_util.tree_map(lambda _: P(), params)
     xr = shard_map(
         inner, mesh=mesh,
         in_specs=(pspecs, P("data", "seq", None), P("data",),

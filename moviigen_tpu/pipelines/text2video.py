@@ -153,7 +153,7 @@ class WanT2V:
                     pred = sequence_parallel_forward(
                         dit_params, x2, t2, ctx_pair, cfg, rope, mesh,
                         seq_len=seq_len, attn_backend=backend,
-                        sp_mode=self.sp_mode)
+                        sp_mode=self.sp_mode, fsdp_params=True)
                 else:
                     pred = wan_model.forward(
                         dit_params, x2, t2, ctx_pair, cfg, rope,

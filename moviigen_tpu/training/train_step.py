@@ -108,7 +108,7 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
             pred = sequence_parallel_forward(
                 params, noisy, t, context, cfg, rope, mesh,
                 seq_len=seq_len, remat=tc.remat,
-                attn_backend=attn_backend)
+                attn_backend=attn_backend, fsdp_params=True)
         else:
             pred = wan_model.forward(
                 params, noisy, t, context, cfg, rope, seq_len=seq_len,

@@ -115,3 +115,18 @@ def test_ring_allows_indivisible_heads(setup):
         compute_dtype=jnp.float32, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("sp_mode", ["ulysses", "ring"])
+def test_fsdp_params_inside_sp(setup, sp_mode):
+    """FSDP at rest + just-in-time per-layer gather inside the SP
+    shard_map must equal the single-device forward."""
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=2, seq=2)
+    specs = dit_param_specs(params, axis="seq")
+    sharded = shard_params(mesh, params, specs)
+    out = sequence_parallel_forward(
+        sharded, x, t, ctx, CFG, rope, mesh, sp_mode=sp_mode,
+        fsdp_params=True, compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
