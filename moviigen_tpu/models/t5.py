@@ -110,6 +110,77 @@ def encode(params: Params, ids: jnp.ndarray, mask: Optional[jnp.ndarray],
     return t5_rms_norm(x, params["norm"]["weight"])
 
 
+def decode(params: Params, ids: jnp.ndarray,
+           encoder_states: jnp.ndarray,
+           encoder_mask: Optional[jnp.ndarray],
+           cfg: T5Config,
+           mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """T5Decoder forward (ref t5.py:315-369): causal self-attention with
+    unidirectional relative position bias + cross-attention over encoder
+    states. Present for full umT5 surface parity (the reference ships the
+    decoder but never runs it at runtime, SURVEY §2.1)."""
+    b, s = ids.shape
+    buckets = jnp.asarray(relative_position_buckets(
+        s, s, cfg.num_buckets, bidirectional=False))
+
+    causal = np.tril(np.ones((s, s), np.float32))
+    if mask is not None:
+        causal = causal[None] * mask[:, None, :].astype(np.float32) \
+            if isinstance(mask, np.ndarray) else \
+            jnp.tril(jnp.broadcast_to(mask[:, None, :], (b, s, s))
+                     .astype(jnp.float32))
+    attn_mask3 = jnp.asarray(causal)
+    if attn_mask3.ndim == 2:
+        attn_mask3 = attn_mask3[None]
+
+    ids = jnp.clip(ids, 0, cfg.vocab_size - 1)
+    x = jnp.take(params["token_embedding"], ids, axis=0)
+
+    def body(carry, bp):
+        x = carry
+        e = jnp.take(bp["pos_embedding"], buckets, axis=0)
+        e = e.transpose(2, 0, 1)[None]
+        h = t5_rms_norm(x, bp["norm1"]["weight"])
+        # causal self-attention (3D mask)
+        logits = jnp.einsum(
+            "binc,bjnc->bnij",
+            jnp.matmul(h, bp["attn"]["q"]).reshape(
+                b, s, cfg.num_heads, cfg.head_dim),
+            jnp.matmul(h, bp["attn"]["k"]).reshape(
+                b, s, cfg.num_heads, cfg.head_dim),
+            preferred_element_type=jnp.float32) + e.astype(jnp.float32)
+        logits = jnp.where(attn_mask3[:, None] != 0, logits,
+                           jnp.float32(-3.4e38))
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        v = jnp.matmul(h, bp["attn"]["v"]).reshape(
+            b, s, cfg.num_heads, cfg.head_dim)
+        sa = jnp.einsum("bnij,bjnc->binc", probs, v).reshape(b, s, -1)
+        x = x + jnp.matmul(sa, bp["attn"]["o"])
+        # cross-attention over encoder states (no pos bias)
+        h = t5_rms_norm(x, bp["norm2"]["weight"])
+        q = jnp.matmul(h, bp["cross_attn"]["q"]).reshape(
+            b, s, cfg.num_heads, cfg.head_dim)
+        k = jnp.matmul(encoder_states, bp["cross_attn"]["k"]).reshape(
+            b, -1, cfg.num_heads, cfg.head_dim)
+        cv = jnp.matmul(encoder_states, bp["cross_attn"]["v"]).reshape(
+            b, -1, cfg.num_heads, cfg.head_dim)
+        logits = jnp.einsum("binc,bjnc->bnij", q, k,
+                            preferred_element_type=jnp.float32)
+        if encoder_mask is not None:
+            keym = encoder_mask[:, None, None, :] != 0
+            logits = jnp.where(keym, logits, jnp.float32(-3.4e38))
+        probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        ca = jnp.einsum("bnij,bjnc->binc", probs, cv).reshape(b, s, -1)
+        x = x + jnp.matmul(ca, bp["cross_attn"]["o"])
+        # ffn
+        h = t5_rms_norm(x, bp["norm3"]["weight"])
+        x = x + _ffn(bp["ffn"], h)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    return t5_rms_norm(x, params["norm"]["weight"])
+
+
 # --------------------------------------------------------------------------
 # init / conversion
 # --------------------------------------------------------------------------
@@ -189,6 +260,46 @@ def convert_t5_state_dict(sd, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
             np.asarray(sd["token_embedding.weight"]), dtype),
         "blocks": blocks,
         "norm": {"weight": jnp.asarray(np.asarray(sd["norm.weight"]), dtype)},
+    }
+
+
+def convert_t5_decoder_state_dict(sd, cfg: T5Config,
+                                  dtype=jnp.float32) -> Params:
+    """Torch T5Decoder state dict → stacked pytree."""
+
+    def t(name):
+        return jnp.asarray(np.asarray(sd[name]), dtype).T
+
+    def stack(fmt):
+        return jnp.stack([t(fmt.format(i)) for i in range(cfg.num_layers)])
+
+    def stack_raw(fmt, dt):
+        return jnp.stack([
+            jnp.asarray(np.asarray(sd[fmt.format(i)]), dt)
+            for i in range(cfg.num_layers)])
+
+    blocks = {
+        "norm1": {"weight": stack_raw("blocks.{}.norm1.weight", dtype)},
+        "attn": {p: stack("blocks.{}.self_attn.%s.weight" % p)
+                 for p in ("q", "k", "v", "o")},
+        "norm2": {"weight": stack_raw("blocks.{}.norm2.weight", dtype)},
+        "cross_attn": {p: stack("blocks.{}.cross_attn.%s.weight" % p)
+                       for p in ("q", "k", "v", "o")},
+        "norm3": {"weight": stack_raw("blocks.{}.norm3.weight", dtype)},
+        "ffn": {
+            "gate": stack("blocks.{}.ffn.gate.0.weight"),
+            "fc1": stack("blocks.{}.ffn.fc1.weight"),
+            "fc2": stack("blocks.{}.ffn.fc2.weight"),
+        },
+        "pos_embedding": stack_raw(
+            "blocks.{}.pos_embedding.embedding.weight", jnp.float32),
+    }
+    return {
+        "token_embedding": jnp.asarray(
+            np.asarray(sd["token_embedding.weight"]), dtype),
+        "blocks": blocks,
+        "norm": {"weight": jnp.asarray(np.asarray(sd["norm.weight"]),
+                                       dtype)},
     }
 
 

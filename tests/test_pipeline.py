@@ -54,3 +54,23 @@ def test_latent_shape_rule(pipe):
     lat = pipe.generate("x", size=(96, 64), frame_num=9,
                         sampling_steps=1, return_latents=True)
     assert lat.shape == (4, 3, 8, 12)
+
+
+def test_t2i_single_frame(pipe):
+    """t2i path: frame_num=1 → single latent frame → one image frame."""
+    img = pipe.generate("a painting", size=(64, 64), frame_num=1,
+                        sampling_steps=2, seed=5)
+    assert img.shape == (3, 1, 64, 64)
+    assert np.all(np.isfinite(img))
+
+
+def test_metrics_utils():
+    from moviigen_tpu.utils.metrics import latent_parity_report, psnr, ssim
+
+    a = np.random.default_rng(0).uniform(-1, 1, (2, 3, 32, 32))
+    assert psnr(a, a) == float("inf")
+    assert abs(ssim(a, a) - 1.0) < 1e-9
+    b = a + 0.01
+    assert 30 < psnr(a, b) < 60
+    rep = latent_parity_report(a, b)
+    assert abs(rep["max_abs_diff"] - 0.01) < 1e-9

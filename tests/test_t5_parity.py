@@ -75,3 +75,35 @@ def test_rel_pos_buckets_match_reference():
     want = emb._relative_position_bucket(rel_pos).numpy()
     got = jt5.relative_position_buckets(lq, lk, 32)
     np.testing.assert_array_equal(got, want)
+
+
+def test_decoder_parity():
+    import torch
+
+    import jax.numpy as jnp
+    from moviigen_tpu.models.t5 import convert_t5_decoder_state_dict, decode
+
+    torch.manual_seed(3)
+    ref = ref_loader.load_ref_t5()
+    model = ref.T5Decoder(
+        vocab=CFG.vocab_size, dim=CFG.dim, dim_attn=CFG.dim_attn,
+        dim_ffn=CFG.dim_ffn, num_heads=CFG.num_heads,
+        num_layers=CFG.num_layers, num_buckets=CFG.num_buckets,
+        shared_pos=False, dropout=0.0).eval().float()
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    params = convert_t5_decoder_state_dict(sd, CFG)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, CFG.vocab_size, size=(2, 7))
+    enc = rng.standard_normal((2, 9, CFG.dim)).astype(np.float32)
+    enc_mask = np.ones((2, 9), np.int64)
+    enc_mask[1, 5:] = 0
+
+    with torch.no_grad():
+        want = model(torch.from_numpy(ids), None,
+                     torch.from_numpy(enc),
+                     torch.from_numpy(enc_mask)).numpy()
+    got = np.asarray(decode(params, jnp.asarray(ids), jnp.asarray(enc),
+                            jnp.asarray(enc_mask), CFG))
+    np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
