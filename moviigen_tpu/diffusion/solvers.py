@@ -295,6 +295,49 @@ class FlowUniPCMultistepScheduler(_TableSolverBase):
         return x_next, SolverState(m_hist=new_hist, last_sample=x)
 
 
+    # ---- fully-scanned sampling -------------------------------------
+
+    def stacked_tables(self) -> dict:
+        """Per-step tables as stacked device arrays for ``lax.scan``."""
+        assert self.sigmas is not None
+        n = self.num_inference_steps
+        return {
+            "timesteps": jnp.asarray(self.timesteps, jnp.float32),
+            "conv_sigma": jnp.asarray(self.sigmas[:n], jnp.float32),
+            "use_corr": jnp.asarray(self._use_corr),
+            "corr": jnp.asarray(self._corr, jnp.float32),
+            "pred": jnp.asarray(self._pred, jnp.float32),
+        }
+
+    def scan_sample(self, model_fn, latent: jnp.ndarray) -> jnp.ndarray:
+        """Run the full denoise loop as one ``lax.scan`` (single compiled
+        program: no per-step host dispatch). ``model_fn(latent, t)`` →
+        velocity prediction."""
+        assert self.solver_order == 2, "scan_sample supports order 2"
+        tables = self.stacked_tables()
+        state0 = self.init_state(latent)
+
+        def body(carry, step):
+            latent, m_hist, last_sample = carry
+            v = model_fn(latent, step["timesteps"][None])
+            m_t = (latent.astype(jnp.float32)
+                   - step["conv_sigma"] * v.astype(jnp.float32))
+            corr = step["corr"]
+            x_corr = (corr[0] * last_sample
+                      + corr[1] * m_hist[0] + corr[2] * m_hist[1]
+                      + corr[-1] * m_t)
+            x = jnp.where(step["use_corr"], x_corr,
+                          latent.astype(jnp.float32))
+            pred = step["pred"]
+            x_next = pred[0] * x + pred[1] * m_t + pred[2] * m_hist[0]
+            return (x_next, (m_t, m_hist[0]), x), None
+
+        (latent, _, _), _ = jax.lax.scan(
+            body, (latent.astype(jnp.float32), state0.m_hist,
+                   state0.last_sample), tables)
+        return latent
+
+
 class FlowDPMSolverMultistepScheduler(_TableSolverBase):
     """DPM-Solver++ multistep (orders 1–3, midpoint/heun) for flow matching.
 
@@ -400,6 +443,31 @@ class FlowDPMSolverMultistepScheduler(_TableSolverBase):
             (sample, m_t, *state.m_hist[:self.solver_order - 1]))
         return x_next, SolverState(m_hist=new_hist,
                                    last_sample=sample.astype(jnp.float32))
+
+    def scan_sample(self, model_fn, latent: jnp.ndarray) -> jnp.ndarray:
+        """Full denoise loop as one ``lax.scan`` (order ≤ 2)."""
+        assert self.solver_order == 2, "scan_sample supports order 2"
+        n = self.num_inference_steps
+        tables = {
+            "timesteps": jnp.asarray(self.timesteps, jnp.float32),
+            "conv_sigma": jnp.asarray(self.sigmas[:n], jnp.float32),
+            "pred": jnp.asarray(self._pred, jnp.float32),
+        }
+        z = jnp.zeros_like(latent, dtype=jnp.float32)
+
+        def body(carry, step):
+            latent, m0 = carry
+            v = model_fn(latent, step["timesteps"][None])
+            m_t = (latent.astype(jnp.float32)
+                   - step["conv_sigma"] * v.astype(jnp.float32))
+            pred = step["pred"]
+            x_next = (pred[0] * latent.astype(jnp.float32)
+                      + pred[1] * m_t + pred[2] * m0)
+            return (x_next, m_t), None
+
+        (latent, _), _ = jax.lax.scan(
+            body, (latent.astype(jnp.float32), z), tables)
+        return latent
 
 
 class FlowMatchScheduler:

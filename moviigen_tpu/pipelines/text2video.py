@@ -133,6 +133,49 @@ class WanT2V:
         ctx = self._t5_encode(self.t5_params, ids, mask)
         return ctx * mask[..., None].astype(ctx.dtype)
 
+    def _denoise_fn_raw(self, grid, seq_len: int, guide_scale: float):
+        """Unjitted single-step denoise closure (for scan composition)."""
+        cfg = self.config.model
+        rope = rope_3d_freqs(grid, cfg.head_dim)
+        backend = self.attn_backend
+        mesh = self.mesh
+        use_sp = mesh is not None and mesh.shape.get("seq", 1) > 1
+
+        def step(dit_params, latent, t, ctx_pair):
+            x2 = jnp.concatenate([latent, latent], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            if use_sp:
+                from ..parallel.ulysses import sequence_parallel_forward
+
+                pred = sequence_parallel_forward(
+                    dit_params, x2, t2, ctx_pair, cfg, rope, mesh,
+                    seq_len=seq_len, attn_backend=backend,
+                    sp_mode=self.sp_mode, fsdp_params=True)
+            else:
+                pred = wan_model.forward(
+                    dit_params, x2, t2, ctx_pair, cfg, rope,
+                    seq_len=seq_len, attn_backend=backend)
+            cond, uncond = pred[:1], pred[1:]
+            return uncond + guide_scale * (cond - uncond)
+
+        return step
+
+    def _scan_denoise_fn(self, grid, seq_len, guide_scale, scheduler_key,
+                         scheduler):
+        """One compiled program for the WHOLE denoise loop (model forward
+        + sampler update scanned over steps — zero per-step dispatch)."""
+        key = ("scan", grid, seq_len, guide_scale, scheduler_key)
+        if key not in self._denoise_step_cache:
+            raw = self._denoise_fn_raw(grid, seq_len, guide_scale)
+
+            def run(dit_params, latent, ctx_pair):
+                return scheduler.scan_sample(
+                    lambda lat, t: raw(dit_params, lat, t, ctx_pair),
+                    latent)
+
+            self._denoise_step_cache[key] = jax.jit(run)
+        return self._denoise_step_cache[key]
+
     def _denoise_fn(self, grid, seq_len: int, guide_scale: float):
         key = (grid, seq_len, guide_scale)
         if key not in self._denoise_step_cache:
@@ -176,8 +219,12 @@ class WanT2V:
                  n_prompt: str = "",
                  seed: int = -1,
                  noise: Optional[np.ndarray] = None,
-                 return_latents: bool = False):
+                 return_latents: bool = False,
+                 scan_loop: bool = True):
         """Generate a video (ref WanT2V.generate, text2video.py:114-271).
+
+        ``scan_loop=True`` (default) runs the whole denoise loop as one
+        compiled ``lax.scan`` program — zero per-step host dispatch.
 
         Returns [C, F, H, W] numpy float32 in [-1, 1] (or the final latent
         when ``return_latents``).
@@ -229,13 +276,20 @@ class WanT2V:
             raise NotImplementedError(
                 f"Unsupported solver: {sample_solver}")
 
-        step_fn = self._denoise_fn(grid, seq_len, float(guide_scale))
-        state = scheduler.init_state(latent)
-
-        for i, t in enumerate(scheduler.timesteps):
-            t_dev = jnp.asarray([float(t)], jnp.float32)
-            noise_pred = step_fn(self.dit_params, latent, t_dev, ctx_pair)
-            latent, state = scheduler.step(noise_pred, i, latent, state)
+        if scan_loop:
+            sched_key = (sample_solver, sampling_steps, float(shift))
+            run = self._scan_denoise_fn(grid, seq_len, float(guide_scale),
+                                        sched_key, scheduler)
+            latent = run(self.dit_params, latent, ctx_pair)
+        else:
+            step_fn = self._denoise_fn(grid, seq_len, float(guide_scale))
+            state = scheduler.init_state(latent)
+            for i, t in enumerate(scheduler.timesteps):
+                t_dev = jnp.asarray([float(t)], jnp.float32)
+                noise_pred = step_fn(self.dit_params, latent, t_dev,
+                                     ctx_pair)
+                latent, state = scheduler.step(noise_pred, i, latent,
+                                               state)
 
         if return_latents:
             return np.asarray(latent[0])

@@ -310,3 +310,33 @@ def test_flow_match_scheduler_roundtrip():
     for t in s.timesteps:  # final step maps σ_min → 0 (to_final semantics)
         x = s.step(v, t, x)
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), atol=1e-5)
+
+
+@pytest.mark.parametrize("solver_cls", [FlowUniPCMultistepScheduler,
+                                        FlowDPMSolverMultistepScheduler])
+def test_scan_sample_matches_python_loop(solver_cls):
+    """The fully-scanned denoise loop must equal per-step stepping."""
+    import jax.numpy as jnp
+
+    sched = solver_cls(num_train_timesteps=1000, shift=1.0)
+    sched.set_timesteps(8, shift=5.0)
+
+    rng = np.random.default_rng(11)
+    c1 = jnp.asarray(rng.standard_normal((2, 3, 4)) * 0.3, jnp.float32)
+
+    def model_fn(x, t):
+        return jnp.tanh(x) * c1 + jnp.sin(t[0] / 1000.0)
+
+    x0 = jnp.asarray(rng.standard_normal((2, 3, 4)), jnp.float32)
+
+    # python loop
+    x = x0
+    state = sched.init_state(x)
+    for i, t in enumerate(sched.timesteps):
+        v = model_fn(x, jnp.asarray([float(t)], jnp.float32))
+        x, state = sched.step(v, i, x, state)
+
+    # scan
+    x_scan = sched.scan_sample(model_fn, x0)
+    np.testing.assert_allclose(np.asarray(x_scan), np.asarray(x),
+                               atol=1e-5, rtol=1e-5)
