@@ -35,6 +35,7 @@ DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 
 _NEG_INF = -1e30
+LOG2E = 1.4426950408889634  # softmax in base 2: exp→exp2, fold log2(e) into the q prescale
 
 
 def _flash_kernel_stats(klen_ref, q_ref, k_ref, v_ref,
@@ -90,9 +91,9 @@ def _flash_kernel(klen_ref, q_ref, k_ref, v_ref, o_ref,
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_next = jnp.maximum(m_prev, m_cur)
 
-    p = jnp.exp(s - m_next)        # [BQ, BK] fp32
+    p = jnp.exp2(s - m_next)       # [BQ, BK] fp32 (base-2 softmax)
     l_cur = jnp.sum(p, axis=1, keepdims=True)
-    alpha = jnp.exp(m_prev - m_next)
+    alpha = jnp.exp2(m_prev - m_next)
     l_next = alpha * l_prev + l_cur
 
     acc = acc_scratch[:] * alpha
@@ -121,8 +122,9 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     b, lq, n, d = q.shape
     lk = k.shape[1]
 
-    # → [B·N, L, D]; pre-scale q by the softmax scale
-    qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
+    # → [B·N, L, D]; pre-scale q by softmax scale × log2(e) (base-2
+    # softmax: exp2 on the VPU, one less multiply per tile)
+    qf = (q * jnp.asarray(scale * LOG2E, q.dtype)).transpose(0, 2, 1, 3) \
         .reshape(b * n, lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
@@ -146,14 +148,15 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         klens = jnp.full((b,), lk, jnp.int32)
     else:
         klens = k_lens.astype(jnp.int32)
-    klens = jnp.repeat(klens, n)  # [B·N]
+    klens = jnp.repeat(klens, n)  # [B·N], whole array in SMEM
 
     grid = (b * n, lq_p // bq, lk_p // bk)
 
     in_specs = [
-        pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0)),
-        pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0)),
-        pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # klens [B·N] whole-array
+        pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0)),
     ]
     scratch = [
         pltpu.VMEM((bq, 1), jnp.float32),
@@ -167,12 +170,10 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         kernel = functools.partial(_flash_kernel, block_k=bk, masked=masked)
         out = pl.pallas_call(
             kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-                out_specs=pl.BlockSpec((1, bq, d),
-                                       lambda h, i, j, *_: (h, i, 0)),
-                scratch_shapes=scratch,
-            ),
+            grid=grid, in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, bq, d),
+                                   lambda h, i, j: (h, i, 0)),
+            scratch_shapes=scratch,
             out_shape=jax.ShapeDtypeStruct((b * n, lq_p, d), q.dtype),
             compiler_params=cparams,
         )(klens, qf, kf, vf)
@@ -182,15 +183,13 @@ def _flash_fwd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                                masked=masked)
     out, m, l = pl.pallas_call(
         kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=grid, in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0)),
-                pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, i)),
-                pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, i)),
-            ),
-            scratch_shapes=scratch,
+        grid=grid, in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
+            pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i)),
         ),
+        scratch_shapes=scratch,
         out_shape=(
             jax.ShapeDtypeStruct((b * n, lq_p, d), q.dtype),
             jax.ShapeDtypeStruct((b * n, 1, lq_p), jnp.float32),
@@ -240,7 +239,7 @@ def _flash_bwd_dkv_kernel(klen_ref, q_ref, do_ref, k_ref, v_ref,
         s = jnp.where(key_idx < klen, s, _NEG_INF)
 
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m[:, None]) * l_inv[:, None]             # [BQ, BK]
+    p = jnp.exp2(s - m[:, None]) * l_inv[:, None]            # [BQ, BK]
 
     dv_scratch[:] = dv_scratch[:] + jax.lax.dot_general(
         p, do.astype(jnp.float32), (((0,), (0,)), ((), ())),
@@ -288,7 +287,7 @@ def _flash_bwd_dq_kernel(klen_ref, q_ref, do_ref, k_ref, v_ref,
         s = jnp.where(key_idx < klen, s, _NEG_INF)
 
     l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-    p = jnp.exp(s - m[:, None]) * l_inv[:, None]
+    p = jnp.exp2(s - m[:, None]) * l_inv[:, None]
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = p * (dp - di[:, None])
@@ -306,8 +305,8 @@ def _flash_bwd(q, k, v, k_lens, o, m, l, do, scale, block_q, block_k):
     b, lq, n, d = q.shape
     lk = k.shape[1]
 
-    qf = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3) \
-        .reshape(b * n, lq, d)
+    qf = (q * jnp.asarray(scale * LOG2E, q.dtype)) \
+        .transpose(0, 2, 1, 3).reshape(b * n, lq, d)
     dof = do.astype(q.dtype).transpose(0, 2, 1, 3).reshape(b * n, lq, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * n, lk, d)
@@ -342,28 +341,26 @@ def _flash_bwd(q, k, v, k_lens, o, m, l, do, scale, block_q, block_k):
         klens = jnp.full((b,), lk, jnp.int32)
     else:
         klens = k_lens.astype(jnp.int32)
-    klens = jnp.repeat(klens, n)
+    klens = jnp.repeat(klens, n)  # [B·N], whole array in SMEM
 
-    qspec = pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, j, 0))
-    kspec = pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, i, 0))
-    statq = pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, j))
+    klspec = pl.BlockSpec(memory_space=pltpu.SMEM)  # klens whole-array
+    qspec = pl.BlockSpec((1, bq, d), lambda h, i, j: (h, j, 0))
+    kspec = pl.BlockSpec((1, bk, d), lambda h, i, j: (h, i, 0))
+    statq = pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, j))
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=bq,
                           masked=masked),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b * n, lk_p // bk, lq_p // bq),
-            in_specs=[qspec, qspec, kspec, kspec, statq, statq, statq],
-            out_specs=(
-                pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, i, 0)),
-                pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, i, 0)),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((bk, d), jnp.float32),
-                pltpu.VMEM((bk, d), jnp.float32),
-            ],
+        grid=(b * n, lk_p // bk, lq_p // bq),
+        in_specs=[klspec, qspec, qspec, kspec, kspec, statq, statq, statq],
+        out_specs=(
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, i, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
         out_shape=(
             jax.ShapeDtypeStruct((b * n, lk_p, d), jnp.float32),
             jax.ShapeDtypeStruct((b * n, lk_p, d), jnp.float32),
@@ -372,22 +369,19 @@ def _flash_bwd(q, k, v, k_lens, o, m, l, do, scale, block_q, block_k):
             dimension_semantics=("parallel", "parallel", "arbitrary")),
     )(klens, qf, dof, kf, vf, mf, lf, dif)
 
-    qspec2 = pl.BlockSpec((1, bq, d), lambda h, i, j, *_: (h, i, 0))
-    kspec2 = pl.BlockSpec((1, bk, d), lambda h, i, j, *_: (h, j, 0))
-    statq2 = pl.BlockSpec((1, 1, bq), lambda h, i, j, *_: (h, 0, i))
+    qspec2 = pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0))
+    kspec2 = pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0))
+    statq2 = pl.BlockSpec((1, 1, bq), lambda h, i, j: (h, 0, i))
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=bk,
                           masked=masked),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(b * n, lq_p // bq, lk_p // bk),
-            in_specs=[qspec2, qspec2, kspec2, kspec2, statq2, statq2,
-                      statq2],
-            out_specs=pl.BlockSpec((1, bq, d),
-                                   lambda h, i, j, *_: (h, i, 0)),
-            scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
-        ),
+        grid=(b * n, lq_p // bq, lk_p // bk),
+        in_specs=[klspec, qspec2, qspec2, kspec2, kspec2, statq2, statq2,
+                  statq2],
+        out_specs=pl.BlockSpec((1, bq, d),
+                               lambda h, i, j: (h, i, 0)),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((b * n, lq_p, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
@@ -396,6 +390,7 @@ def _flash_bwd(q, k, v, k_lens, o, m, l, do, scale, block_q, block_k):
     dq = dq[:, :lq].reshape(b, n, lq, d).transpose(0, 2, 1, 3)
     dq = dq * jnp.float32(scale)  # chain rule for the pre-scaled q
     dk = dk[:, :lk].reshape(b, n, lk, d).transpose(0, 2, 1, 3)
+    dk = dk * jnp.float32(1.0 / LOG2E)  # remove the folded log2(e) from q
     dv = dv[:, :lk].reshape(b, n, lk, d).transpose(0, 2, 1, 3)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype))
 
@@ -441,5 +436,8 @@ def flash_attention_with_stats(q, k, v, k_lens=None, scale=None,
     sequence shards (online-softmax combination)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    return _flash_fwd(q, k, v, k_lens, scale, block_q, block_k,
-                      return_stats=True)
+    out, m, l = _flash_fwd(q, k, v, k_lens, scale, block_q, block_k,
+                           return_stats=True)
+    # internal stats are base-2 (exp2 softmax); l is identical in both
+    # domains, m converts by ln2
+    return out, m * jnp.float32(1.0 / LOG2E), l
