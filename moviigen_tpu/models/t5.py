@@ -223,43 +223,98 @@ def init_params(key: jax.Array, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
     }
 
 
-def convert_t5_state_dict(sd, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
+def convert_t5_state_dict(sd, cfg: T5Config, dtype=jnp.bfloat16,
+                          as_numpy: bool = False) -> Params:
     """Torch T5Encoder state dict → stacked pytree. Linear weights [O,I]
-    transpose to [I,O]; per-layer tensors stack along a leading axis."""
+    transpose to [I,O]; per-layer tensors stack along a leading axis.
+    Built host-side (numpy + ml_dtypes); uploaded unless ``as_numpy``."""
+    import ml_dtypes
+
+    np_dtype = np.dtype(ml_dtypes.bfloat16) \
+        if jnp.dtype(dtype) == jnp.bfloat16 else np.dtype(dtype)
 
     def t(name):
-        return jnp.asarray(np.asarray(sd[name]), dtype).T
+        return np.ascontiguousarray(np.asarray(sd[name]).T) \
+            .astype(np_dtype)
 
-    def stack(fmt, conv=t):
-        return jnp.stack([conv(fmt.format(i)) for i in range(cfg.num_layers)])
+    def stack(fmt, conv=None):
+        conv = conv or t
+        return np.stack([conv(fmt.format(i))
+                         for i in range(cfg.num_layers)])
 
     def stack_raw(fmt, dt):
-        return jnp.stack([
-            jnp.asarray(np.asarray(sd[fmt.format(i)]), dt)
+        return np.stack([
+            np.asarray(sd[fmt.format(i)]).astype(dt)
             for i in range(cfg.num_layers)])
 
     blocks = {
-        "norm1": {"weight": stack_raw("blocks.{}.norm1.weight", dtype)},
+        "norm1": {"weight": stack_raw("blocks.{}.norm1.weight", np_dtype)},
         "attn": {
             "q": stack("blocks.{}.attn.q.weight"),
             "k": stack("blocks.{}.attn.k.weight"),
             "v": stack("blocks.{}.attn.v.weight"),
             "o": stack("blocks.{}.attn.o.weight"),
         },
-        "norm2": {"weight": stack_raw("blocks.{}.norm2.weight", dtype)},
+        "norm2": {"weight": stack_raw("blocks.{}.norm2.weight", np_dtype)},
         "ffn": {
             "gate": stack("blocks.{}.ffn.gate.0.weight"),
             "fc1": stack("blocks.{}.ffn.fc1.weight"),
             "fc2": stack("blocks.{}.ffn.fc2.weight"),
         },
         "pos_embedding": stack_raw(
-            "blocks.{}.pos_embedding.embedding.weight", jnp.float32),
+            "blocks.{}.pos_embedding.embedding.weight", np.float32),
+    }
+    params = {
+        "token_embedding":
+            np.asarray(sd["token_embedding.weight"]).astype(np_dtype),
+        "blocks": blocks,
+        "norm": {"weight":
+                 np.asarray(sd["norm.weight"]).astype(np_dtype)},
+    }
+    if not as_numpy:
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+    return params
+
+
+def host_init_params(seed: int, cfg: T5Config, dtype="bfloat16") -> Params:
+    """Random init entirely on the host (numpy) — for offloaded smoke
+    runs where a device round-trip of the 11.6 GB encoder is wasteful.
+    Same distributions as ``init_params`` (draw streams differ)."""
+    import ml_dtypes
+
+    np_dtype = np.dtype(ml_dtypes.bfloat16) if dtype == "bfloat16" \
+        else np.dtype(dtype)
+    rng = np.random.default_rng(seed)
+    d, da, df = cfg.dim, cfg.dim_attn, cfg.dim_ffn
+
+    def normal(shape, std):
+        return (rng.standard_normal(shape, dtype=np.float32) * std) \
+            .astype(np_dtype)
+
+    blocks = {
+        "norm1": {"weight": np.ones((cfg.num_layers, d), np_dtype)},
+        "attn": {
+            "q": normal((cfg.num_layers, d, da), (d * da) ** -0.5),
+            "k": normal((cfg.num_layers, d, da), d ** -0.5),
+            "v": normal((cfg.num_layers, d, da), d ** -0.5),
+            "o": normal((cfg.num_layers, da, d),
+                        (cfg.num_heads * cfg.head_dim) ** -0.5),
+        },
+        "norm2": {"weight": np.ones((cfg.num_layers, d), np_dtype)},
+        "ffn": {
+            "gate": normal((cfg.num_layers, d, df), d ** -0.5),
+            "fc1": normal((cfg.num_layers, d, df), d ** -0.5),
+            "fc2": normal((cfg.num_layers, df, d), df ** -0.5),
+        },
+        "pos_embedding": (rng.standard_normal(
+            (cfg.num_layers, cfg.num_buckets, cfg.num_heads),
+            dtype=np.float32)
+            * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5),
     }
     return {
-        "token_embedding": jnp.asarray(
-            np.asarray(sd["token_embedding.weight"]), dtype),
+        "token_embedding": normal((cfg.vocab_size, d), 1.0),
         "blocks": blocks,
-        "norm": {"weight": jnp.asarray(np.asarray(sd["norm.weight"]), dtype)},
+        "norm": {"weight": np.ones((d,), np_dtype)},
     }
 
 
@@ -304,10 +359,11 @@ def convert_t5_decoder_state_dict(sd, cfg: T5Config,
 
 
 def load_t5_checkpoint(path: str, cfg: T5Config,
-                       dtype=jnp.bfloat16) -> Params:
-    """Load ``models_t5_umt5-xxl-enc-bf16.pth`` → pytree. Requires torch."""
+                       dtype=jnp.bfloat16, as_numpy: bool = False) -> Params:
+    """Load ``models_t5_umt5-xxl-enc-bf16.pth`` → pytree. Requires torch.
+    ``as_numpy`` keeps the tree on the host (offload mode)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.float().numpy() for k, v in sd.items()}
-    return convert_t5_state_dict(sd, cfg, dtype)
+    return convert_t5_state_dict(sd, cfg, dtype, as_numpy=as_numpy)

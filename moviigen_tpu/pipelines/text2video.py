@@ -52,7 +52,8 @@ class WanT2V:
                  attn_backend: str = "auto",
                  mesh=None,
                  sp_size: Optional[int] = None,
-                 sp_mode: str = "ulysses"):
+                 sp_mode: str = "ulysses",
+                 offload_t5: str = "auto"):
         self.config = config
         self.attn_backend = attn_backend
         self.mesh = mesh
@@ -64,6 +65,19 @@ class WanT2V:
         self.sp_size = sp_size or 1
         dtype = config.jnp_param_dtype
 
+        # T5 host offload (the reference's offload_model/t5_cpu juggling,
+        # text2video.py:175-184): the umT5-XXL encoder (~11.6 GB bf16)
+        # runs once per prompt — resident, it would crowd out the VAE
+        # decode on small-HBM chips. Decide before creating params so the
+        # offloaded tree is built host-side (no device round-trip).
+        tc = config.t5
+        t5_bytes = 2 * (tc.vocab_size * tc.dim + tc.num_layers * (
+            3 * tc.dim * tc.dim_attn + tc.dim_attn * tc.dim
+            + 3 * tc.dim * tc.dim_ffn))
+        if offload_t5 == "auto":
+            offload_t5 = mesh is None and t5_bytes > 4 << 30
+        self._offload_t5 = bool(offload_t5)
+
         if checkpoint_dir is not None:
             from ..models.t5 import load_t5_checkpoint
             from ..models.vae_convert import load_vae_checkpoint
@@ -72,7 +86,8 @@ class WanT2V:
             logging.info("loading checkpoints from %s", checkpoint_dir)
             self.t5_params = load_t5_checkpoint(
                 os.path.join(checkpoint_dir, config.t5_checkpoint),
-                config.t5, dtype=jnp.dtype(config.t5_dtype))
+                config.t5, dtype=jnp.dtype(config.t5_dtype),
+                as_numpy=self._offload_t5)
             self.vae_params = load_vae_checkpoint(
                 os.path.join(checkpoint_dir, config.vae_checkpoint),
                 config.vae, dtype=jnp.float32)
@@ -83,8 +98,12 @@ class WanT2V:
             logging.warning("no checkpoint_dir: random-init params "
                             "(smoke-test mode)")
             keys = jax.random.split(jax.random.PRNGKey(init_seed), 3)
-            self.t5_params = t5m.init_params(
-                keys[0], config.t5, dtype=jnp.dtype(config.t5_dtype))
+            if self._offload_t5:
+                self.t5_params = t5m.host_init_params(
+                    init_seed, config.t5, dtype=config.t5_dtype)
+            else:
+                self.t5_params = t5m.init_params(
+                    keys[0], config.t5, dtype=jnp.dtype(config.t5_dtype))
             self.vae_params = vaem.init_params(keys[1], config.vae)
             self.dit_params = wan_model.init_params(
                 keys[2], config.model, dtype=dtype)
@@ -130,6 +149,14 @@ class WanT2V:
                                    add_special_tokens=True)
         ids = jnp.asarray(ids)
         mask = jnp.asarray(mask)
+        if self._offload_t5:
+            # upload → encode → free (device copies die with the locals)
+            t5_dev = jax.tree_util.tree_map(jnp.asarray, self.t5_params)
+            ctx = self._t5_encode(t5_dev, ids, mask)
+            ctx = ctx * mask[..., None].astype(ctx.dtype)
+            ctx.block_until_ready()
+            del t5_dev
+            return ctx
         ctx = self._t5_encode(self.t5_params, ids, mask)
         return ctx * mask[..., None].astype(ctx.dtype)
 
