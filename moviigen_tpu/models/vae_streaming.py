@@ -200,9 +200,16 @@ def encode_streaming(params: Params, video: jnp.ndarray,
 
 
 def decode_streaming(params: Params, z: jnp.ndarray,
-                     cfg: VAEConfig) -> jnp.ndarray:
-    """Normalized latents [B, z, T', H', W'] → video, decoding one latent
-    frame per scan step (ref WanVAE_.decode, vae.py:544-568)."""
+                     cfg: VAEConfig,
+                     chunk_frames: Optional[int] = None) -> jnp.ndarray:
+    """Normalized latents [B, z, T', H', W'] → video.
+
+    The reference decodes one latent frame per cache step
+    (vae.py:552-566); the cache math is exact for any chunk size, so we
+    process ``chunk_frames`` latent frames per scan step (auto: largest
+    divisor of T'−1 up to 5) — larger per-step tensors amortize the many
+    small convs and lift decoder MFU while keeping memory bounded.
+    """
     zl = z.transpose(0, 2, 3, 4, 1)
     mean = jnp.asarray(LATENT_MEAN[:cfg.z_dim], zl.dtype)
     std = jnp.asarray(LATENT_STD[:cfg.z_dim], zl.dtype)
@@ -210,16 +217,35 @@ def decode_streaming(params: Params, z: jnp.ndarray,
     zl = causal_conv3d(params["conv2"], zl)
 
     t = zl.shape[1]
+    rest = t - 1
+    if chunk_frames is None:
+        # full-res activations ≈ chunk·4 frames × 8H'·8W' × dim·4 ch-eq
+        # fp32 buffers; cap the live set to ~2 GB so decode fits beside
+        # the DiT on 16 GB chips
+        h_out, w_out = zl.shape[2] * 8, zl.shape[3] * 8
+        per_chunk_frame = 4 * h_out * w_out * cfg.dim * 4 * 4  # ~4 bufs
+        c_max = max(1, int((2 << 30) // per_chunk_frame))
+        chunk_frames = 1
+        for c in range(min(5, c_max, max(rest, 1)), 0, -1):
+            if rest % c == 0:
+                chunk_frames = c
+                break
+    assert rest % max(chunk_frames, 1) == 0 or rest == 0, (
+        f"chunk_frames {chunk_frames} must divide T'-1 = {rest}")
+
     first_out, caches = _decoder_chunk(params["decoder"], zl[:, :1], cfg,
                                        None, first=True)
-    if t > 1:
-        def body(carry, frame):
+    if rest > 0:
+        def body(carry, chunk):
             out, new_caches = _decoder_chunk(
-                params["decoder"], frame[:, None], cfg, carry, first=False)
+                params["decoder"], chunk, cfg, carry, first=False)
             return tuple(new_caches), out
 
-        frames = zl[:, 1:].transpose(1, 0, 2, 3, 4)  # [T'-1, B, H', W', z]
-        _, outs = jax.lax.scan(body, tuple(caches), frames)
+        n_chunks = rest // chunk_frames
+        chunks = zl[:, 1:].reshape(
+            zl.shape[0], n_chunks, chunk_frames,
+            *zl.shape[2:]).transpose(1, 0, 2, 3, 4, 5)
+        _, outs = jax.lax.scan(body, tuple(caches), chunks)
         outs = outs.transpose(1, 0, 2, 3, 4, 5).reshape(
             first_out.shape[0], -1, *first_out.shape[2:])
         x = jnp.concatenate([first_out, outs], axis=1)
