@@ -270,8 +270,8 @@ def main(argv=None):
         sys.exit(0)
 
     step_counter = [start_step]
-    signal.signal(signal.SIGINT, handler)
-    signal.signal(signal.SIGTERM, handler)
+    prev_int = signal.signal(signal.SIGINT, handler)
+    prev_term = signal.signal(signal.SIGTERM, handler)
 
     # ---- loop
     key = jax.random.PRNGKey(args.seed)
@@ -342,6 +342,8 @@ def main(argv=None):
         epoch += 1
 
     do_save(step, is_final=True)
+    signal.signal(signal.SIGINT, prev_int)
+    signal.signal(signal.SIGTERM, prev_term)
     if writer is not None:
         writer.close()
     logging.info("training done at step %d", step)

@@ -97,8 +97,30 @@ def main(argv=None):
         save_processed()
         sys.exit(0)
 
-    signal.signal(signal.SIGINT, handler)
-    signal.signal(signal.SIGTERM, handler)
+    prev_int = signal.signal(signal.SIGINT, handler)
+    prev_term = signal.signal(signal.SIGTERM, handler)
+
+    try:
+        return _run(args, processed, save_processed)
+    finally:
+        signal.signal(signal.SIGINT, prev_int)
+        signal.signal(signal.SIGTERM, prev_term)
+
+
+def _run(args, processed, save_processed):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ..configs import WAN_CONFIGS
+    from ..data.t2v_dataset import T2VDataset
+    from ..models import t5 as t5m
+    from ..models import vae as vaem
+    from ..models.tokenizer import load_tokenizer
+
+    cfg = WAN_CONFIGS[args.task]
+    latent_dir = os.path.join(args.output_dir, "latent")
+    embed_dir = os.path.join(args.output_dir, "prompt_embed")
 
     # ---- models
     if args.model_path:
