@@ -162,7 +162,17 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
 
     fp32 matmuls use HIGHEST precision — on TPU the default lowers fp32
     matmuls to bf16 passes, which would silently break the reference's
-    fp32 islands (time embed / head)."""
+    fp32 islands (time embed / head).
+
+    Int8 weight-only leaves ({'q8', 'scale'}; ops/quantization.py)
+    dequantize just-in-time: one bf16 [in, out] transient per layer."""
+    if "q8" in p:
+        cd = dtype or jnp.bfloat16
+        k = p["q8"].astype(cd) * p["scale"].astype(cd)[..., None, :]
+        out = jnp.matmul(x.astype(cd), k)
+        if "bias" in p:
+            out = out + p["bias"].astype(cd)
+        return out
     k = p["kernel"]
     if dtype is not None:
         k = k.astype(dtype)
@@ -400,7 +410,8 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
                k_lens: Optional[jnp.ndarray],
                compute_dtype=jnp.bfloat16, attn_backend: str = "auto",
                remat: bool = False, self_attn_fn=None,
-               param_gather_fn=None) -> jnp.ndarray:
+               param_gather_fn=None,
+               residual_dtype=jnp.float32) -> jnp.ndarray:
     """Scan the AdaLN block stack over the fp32 residual stream.
 
     ``param_gather_fn`` (FSDP analog): applied to each layer's param
@@ -408,7 +419,7 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
     weight shards just-in-time per layer (and its transpose
     reduce-scatters the weight grads), reproducing torch-FSDP
     FULL_SHARD-per-block behavior (ref wan/distributed/fsdp.py:17-31)."""
-    xr = xt.astype(jnp.float32)
+    xr = xt.astype(residual_dtype)
 
     def body(carry, bp):
         if param_gather_fn is not None:
@@ -416,7 +427,7 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
         out = attention_block(bp, carry, e0, ctx, cfg, rope, k_lens,
                               compute_dtype, attn_backend,
                               self_attn_fn=self_attn_fn)
-        return out, None
+        return out.astype(residual_dtype), None
 
     body_fn = jax.checkpoint(body) if remat else body
     xr, _ = jax.lax.scan(body_fn, xr, params["blocks"])
@@ -438,9 +449,14 @@ def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
             compute_dtype=jnp.bfloat16,
             attn_backend: str = "auto",
             remat: bool = False,
+            residual_dtype=jnp.float32,
             clip_fea: Optional[jnp.ndarray] = None,
             y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Denoising forward pass (ref WanModel.forward, model.py:486-579).
+
+    ``residual_dtype=bfloat16`` halves residual-stream memory (measured
+    <1%% perf/parity impact at 1.3B; the default keeps the reference's
+    fp32 residual discipline).
 
     Args:
         params: parameter pytree from ``init_params`` or the converter.
@@ -465,6 +481,6 @@ def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
         compute_dtype=compute_dtype, clip_fea=clip_fea, y=y)
     xr = run_blocks(params, xt, e0, ctx, cfg, rope, k_lens,
                     compute_dtype=compute_dtype, attn_backend=attn_backend,
-                    remat=remat)
+                    remat=remat, residual_dtype=residual_dtype)
     out = head_output(params, xr, e, cfg)
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)

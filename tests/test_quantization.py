@@ -1,0 +1,61 @@
+"""Int8 weight-only quantization tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from moviigen_tpu.configs import WAN_CONFIGS
+from moviigen_tpu.models import wan_model
+from moviigen_tpu.ops.quantization import (host_init_quantized_wan,
+                                           quantize_linear,
+                                           quantize_wan_params)
+from moviigen_tpu.ops.rope import rope_3d_freqs
+
+CFG = WAN_CONFIGS["t2v-tiny"].model
+
+
+def test_quantize_linear_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32) * 0.05
+    q, s = quantize_linear(w)
+    deq = q.astype(np.float32) * s[None, :]
+    # per-channel absmax quantization: error ≤ scale/2 per element
+    assert np.all(np.abs(deq - w) <= s[None, :] * 0.5 + 1e-8)
+
+
+def test_quantized_forward_close_to_full():
+    params = wan_model.init_params(jax.random.PRNGKey(0), CFG,
+                                   dtype=jnp.float32)
+    qparams = quantize_wan_params(
+        jax.tree_util.tree_map(np.asarray, params))
+    # block linears quantized; embeddings untouched
+    assert "q8" in qparams["blocks"]["self_attn"]["q"]
+    assert "kernel" in qparams["patch_embedding"]
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, CFG.in_dim, 3, 8, 8)),
+                    jnp.float32)
+    ctx = jnp.asarray(
+        rng.standard_normal((1, CFG.text_len, CFG.text_dim)), jnp.float32)
+    rope = rope_3d_freqs((3, 4, 4), CFG.head_dim)
+    full = wan_model.forward(params, x, jnp.asarray([500.0]), ctx, CFG,
+                             rope, compute_dtype=jnp.float32,
+                             attn_backend="xla")
+    quant = wan_model.forward(qparams, x, jnp.asarray([500.0]), ctx, CFG,
+                              rope, compute_dtype=jnp.float32,
+                              attn_backend="xla")
+    err = np.abs(np.asarray(full) - np.asarray(quant))
+    rel = err.max() / max(np.abs(np.asarray(full)).max(), 1e-6)
+    assert rel < 0.15, f"quantization error too large: {rel}"
+
+
+def test_host_init_quantized_runs():
+    qparams = host_init_quantized_wan(0, CFG)
+    x = jnp.zeros((1, CFG.in_dim, 3, 8, 8))
+    ctx = jnp.zeros((1, CFG.text_len, CFG.text_dim))
+    rope = rope_3d_freqs((3, 4, 4), CFG.head_dim)
+    dev = jax.tree_util.tree_map(jnp.asarray, qparams)
+    out = wan_model.forward(dev, x, jnp.asarray([100.0]), ctx, CFG, rope,
+                            attn_backend="xla")
+    assert out.shape == (1, CFG.out_dim, 3, 8, 8)
+    assert np.all(np.isfinite(np.asarray(out)))
