@@ -123,7 +123,12 @@ def generate(args) -> str:
         assert n_dev % sp == 0, (
             f"sequence-parallel degree {sp} must divide device count "
             f"{n_dev}")
-        mesh = make_mesh(data=n_dev // sp, seq=sp)
+        if args.ulysses_size > 1 and args.ring_size > 1:
+            # hybrid USP: 3-axis mesh, ring outer / ulysses inner
+            mesh = make_mesh(data=n_dev // sp, ring=args.ring_size,
+                             seq=args.ulysses_size)
+        else:
+            mesh = make_mesh(data=n_dev // sp, seq=sp)
         logging.info("mesh: %s", mesh)
 
     if args.use_prompt_extend:
@@ -141,7 +146,12 @@ def generate(args) -> str:
             logging.warning("prompt extension failed: %s", out.message)
 
     logging.info("prompt: %s", args.prompt)
-    sp_mode = "ring" if args.ring_size > 1 else "ulysses"
+    if args.ulysses_size > 1 and args.ring_size > 1:
+        sp_mode = "usp"
+    elif args.ring_size > 1:
+        sp_mode = "ring"
+    else:
+        sp_mode = "ulysses"
     pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
                   sp_mode=sp_mode)
 

@@ -24,15 +24,27 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(data: int = 1, seq: int = 1,
+def make_mesh(data: int = 1, seq: int = 1, ring: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, seq) mesh over the available devices."""
+    """Build a (data, seq) — or, with ``ring > 1``, (data, ring, seq) —
+    mesh over the available devices.
+
+    The 3-axis form backs the hybrid Ulysses×Ring mode (the reference's
+    ``--ulysses_size U --ring_size R`` with both > 1): ``seq`` is the
+    Ulysses (head all_to_all) axis and ``ring`` the KV-rotation axis.
+    ``ring`` is placed outer so each ring block's tokens are contiguous
+    and its Ulysses group is ICI-adjacent.
+    """
     if devices is None:
         devices = jax.devices()
-    n = data * seq
+    n = data * seq * ring
     if n > len(devices):
         raise ValueError(
-            f"mesh {data}x{seq} needs {n} devices, have {len(devices)}")
+            f"mesh {data}x{ring}x{seq} needs {n} devices, "
+            f"have {len(devices)}")
+    if ring > 1:
+        dev = np.asarray(devices[:n]).reshape(data, ring, seq)
+        return Mesh(dev, axis_names=("data", "ring", "seq"))
     dev = np.asarray(devices[:n]).reshape(data, seq)
     return Mesh(dev, axis_names=("data", "seq"))
 

@@ -113,10 +113,14 @@ def replicate_params(mesh: Mesh, params):
 def shard_pipeline_params(mesh: Mesh, t5_params, vae_params, dit_params):
     """Shard the three parameter trees for inference on ``mesh``.
 
-    T5/DiT get within-layer splits over ``seq``; the VAE (96-dim convs,
-    small) is replicated.
+    T5/DiT get within-layer splits over the sequence-parallel axes
+    (``seq``, or ``ring``+``seq`` on a hybrid USP mesh); the VAE
+    (96-dim convs, small) is replicated.
     """
-    t5_p = shard_params(mesh, t5_params, t5_param_specs(t5_params))
-    dit_p = shard_params(mesh, dit_params, dit_param_specs(dit_params))
+    axis = ("ring", "seq") if "ring" in mesh.axis_names else "seq"
+    t5_p = shard_params(mesh, t5_params, t5_param_specs(t5_params,
+                                                        axis=axis))
+    dit_p = shard_params(mesh, dit_params, dit_param_specs(dit_params,
+                                                           axis=axis))
     vae_p = replicate_params(mesh, vae_params)
     return t5_p, vae_p, dit_p

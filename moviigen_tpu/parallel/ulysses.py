@@ -92,10 +92,29 @@ def sequence_parallel_forward(
     - 'ulysses': all_to_all head↔seq reshard, full-sequence attention
       with N/sp local heads (needs num_heads % sp == 0);
     - 'ring': KV shards rotate via ppermute, no chip ever holds the full
-      sequence (the >per-chip-memory mode; ref --ring_size).
+      sequence (the >per-chip-memory mode; ref --ring_size);
+    - 'usp': hybrid Ulysses×Ring on a 3-axis (data, ring, seq) mesh — the
+      reference's ``--ulysses_size U --ring_size R`` composition
+      (xfuser ``initialize_model_parallel(ring_degree, ulysses_degree)``,
+      generate.py:225-229). Tokens are sharded over ring×seq jointly;
+      attention all_to_alls heads over the inner ``seq`` (Ulysses) axis,
+      then rotates KV around the ``ring`` axis. Each chip holds L/R
+      tokens × N/U heads at the attention peak.
     """
-    sp = mesh.shape["seq"]
-    if sp_mode == "ulysses":
+    seq_axes = ("ring", "seq") if "ring" in mesh.axis_names else ("seq",)
+    sp = 1
+    for a in seq_axes:
+        sp *= mesh.shape[a]
+    if sp_mode == "usp":
+        assert "ring" in mesh.axis_names, (
+            "sp_mode='usp' needs a (data, ring, seq) mesh")
+        ulysses = mesh.shape["seq"]
+        assert cfg.num_heads % ulysses == 0, (
+            f"num_heads {cfg.num_heads} must divide by ulysses degree "
+            f"{ulysses} (ref generate.py:238-239)")
+    elif sp_mode == "ulysses":
+        assert seq_axes == ("seq",), (
+            "pure ulysses runs on a (data, seq) mesh")
         assert cfg.num_heads % sp == 0, (
             f"num_heads {cfg.num_heads} must divide by seq axis {sp} "
             "(ref generate.py:238-239)")
@@ -120,12 +139,32 @@ def sequence_parallel_forward(
             return ring_self_attention(
                 q, k, v, kl, axis_name="seq", sp_size=sp,
                 attn_backend=attn_backend, compute_dtype=compute_dtype)
+    elif sp_mode == "usp":
+        from .ring import ring_self_attention
+
+        ring_n = mesh.shape["ring"]
+
+        def self_attn_fn(q, k, v, kl):
+            # Ulysses within the ring group: heads scatter over the inner
+            # 'seq' axis, tokens gather to this rank's contiguous ring
+            # block (ring-major shard order makes the gathered tokens
+            # exactly block [r·L/R, (r+1)·L/R)).
+            a2a = functools.partial(jax.lax.all_to_all, axis_name="seq",
+                                    tiled=True)
+            q2 = a2a(q, split_axis=2, concat_axis=1)
+            k2 = a2a(k, split_axis=2, concat_axis=1)
+            v2 = a2a(v, split_axis=2, concat_axis=1)
+            out = ring_self_attention(
+                q2, k2, v2, kl, axis_name="ring", sp_size=ring_n,
+                attn_backend=attn_backend, compute_dtype=compute_dtype)
+            return a2a(out, split_axis=1, concat_axis=2)
     else:
         def self_attn_fn(q, k, v, kl):
             return ulysses_self_attention(
                 q, k, v, kl, axis_name="seq", attn_backend=attn_backend,
                 compute_dtype=compute_dtype)
 
+    shard_axis = seq_axes if len(seq_axes) > 1 else seq_axes[0]
     param_gather_fn = None
     if fsdp_params:
         # params enter shard_map sharded per dit_param_specs (FSDP at
@@ -133,14 +172,14 @@ def sequence_parallel_forward(
         # scan body — grads reduce-scatter on the reverse pass.
         from .sharding import dit_param_specs
 
-        pspecs = dit_param_specs(params, axis="seq")
+        pspecs = dit_param_specs(params, axis=shard_axis)
         block_specs = pspecs["blocks"]
 
         def gather_leaf(leaf, spec):
             # spec includes the leading layer dim the scan has sliced off
             for i, ax in enumerate(spec):
-                if ax == "seq":
-                    return jax.lax.all_gather(leaf, "seq", axis=i - 1,
+                if ax == shard_axis:
+                    return jax.lax.all_gather(leaf, shard_axis, axis=i - 1,
                                               tiled=True)
             return leaf
 
@@ -161,9 +200,10 @@ def sequence_parallel_forward(
 
     xr = shard_map(
         inner, mesh=mesh,
-        in_specs=(pspecs, P("data", "seq", None), P("data",),
-                  P("data",), P("seq", None), P("seq", None), P("data",)),
-        out_specs=P("data", "seq", None),
+        in_specs=(pspecs, P("data", shard_axis, None), P("data",),
+                  P("data",), P(shard_axis, None), P(shard_axis, None),
+                  P("data",)),
+        out_specs=P("data", shard_axis, None),
         check_rep=False,
     )(params, xt, e0, ctx, cos, sin, k_lens)
 

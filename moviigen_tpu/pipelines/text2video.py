@@ -121,7 +121,8 @@ class WanT2V:
                     mesh, self.t5_params, self.vae_params, self.dit_params)
             if sp_size is None:
                 self.sp_size = int(np.prod(
-                    [mesh.shape[a] for a in ("seq",) if a in mesh.shape]))
+                    [mesh.shape[a] for a in ("ring", "seq")
+                     if a in mesh.shape]))
 
         self._t5_encode = jax.jit(
             lambda p, ids, mask: t5m.encode(p, ids, mask, config.t5))
@@ -166,7 +167,8 @@ class WanT2V:
         rope = rope_3d_freqs(grid, cfg.head_dim)
         backend = self.attn_backend
         mesh = self.mesh
-        use_sp = mesh is not None and mesh.shape.get("seq", 1) > 1
+        use_sp = mesh is not None and int(np.prod(
+            [mesh.shape.get(a, 1) for a in ("ring", "seq")])) > 1
 
         def step(dit_params, latent, t, ctx_pair):
             x2 = jnp.concatenate([latent, latent], axis=0)
@@ -211,7 +213,8 @@ class WanT2V:
             backend = self.attn_backend
 
             mesh = self.mesh
-            use_sp = mesh is not None and mesh.shape.get("seq", 1) > 1
+            use_sp = mesh is not None and int(np.prod(
+            [mesh.shape.get(a, 1) for a in ("ring", "seq")])) > 1
 
             def step(dit_params, latent, t, ctx_pair):
                 # latent: [1, C, F', H', W']; ctx_pair: [2, L, text_dim]

@@ -130,3 +130,49 @@ def test_fsdp_params_inside_sp(setup, sp_mode):
         fsdp_params=True, compute_dtype=jnp.float32, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("data,ring,seq", [(2, 2, 2), (1, 4, 2), (1, 2, 4)])
+def test_hybrid_usp_invariance(setup, data, ring, seq):
+    """Hybrid Ulysses×Ring (ref --ulysses_size U --ring_size R, both >1)
+    on a 3-axis mesh must equal the single-device forward."""
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=data, ring=ring, seq=seq)
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh, sp_mode="usp",
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_hybrid_usp_with_padded_seq(setup):
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=1, ring=2, seq=4)
+    out = sequence_parallel_forward(
+        params, x, t, ctx, CFG, rope, mesh, seq_len=72, sp_mode="usp",
+        compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_hybrid_usp_fsdp_params(setup):
+    """FSDP at rest over ring×seq jointly + JIT gathers inside the USP
+    shard_map."""
+    params, x, t, ctx, rope, ref = setup
+    mesh = make_mesh(data=2, ring=2, seq=2)
+    specs = dit_param_specs(params, axis=("ring", "seq"))
+    sharded = shard_params(mesh, params, specs)
+    out = sequence_parallel_forward(
+        sharded, x, t, ctx, CFG, rope, mesh, sp_mode="usp",
+        fsdp_params=True, compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_hybrid_usp_requires_ring_axis(setup):
+    params, x, t, ctx, rope, _ = setup
+    mesh = make_mesh(data=2, seq=4)
+    with pytest.raises(AssertionError):
+        sequence_parallel_forward(
+            params, x, t, ctx, CFG, rope, mesh, sp_mode="usp",
+            compute_dtype=jnp.float32, attn_backend="xla")
