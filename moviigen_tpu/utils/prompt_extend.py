@@ -91,6 +91,15 @@ class QwenPromptExpander(PromptExpander):
     def _load(self):
         if self._model is not None:
             return
+        if self.is_vl:
+            # VL rewriter (ref prompt_extend.py:145-204): processor +
+            # vision-language model; vision inputs via utils.qwen_vl
+            from transformers import AutoModelForVision2Seq, AutoProcessor
+
+            self._tokenizer = AutoProcessor.from_pretrained(self.model_name)
+            self._model = AutoModelForVision2Seq.from_pretrained(
+                self.model_name, torch_dtype="auto")
+            return
         from transformers import AutoModelForCausalLM, AutoTokenizer
 
         self._tokenizer = AutoTokenizer.from_pretrained(self.model_name)
@@ -119,6 +128,44 @@ class QwenPromptExpander(PromptExpander):
             out = self._model.generate(**inputs, max_new_tokens=512)
         out = out[0][inputs.input_ids.shape[1]:]
         expanded = self._tokenizer.decode(out, skip_special_tokens=True)
+        return PromptOutput(
+            status=True, prompt=expanded.strip(), seed=seed,
+            system_prompt=system_prompt, message="")
+
+    def extend_with_img(self, prompt, system_prompt, image=None, seed=-1,
+                        *args, **kwargs) -> PromptOutput:
+        """Image-conditioned rewrite through a Qwen-VL model
+        (ref prompt_extend.py:145-204)."""
+        try:
+            self._load()
+        except Exception as e:
+            return PromptOutput(
+                status=False, prompt=prompt, seed=seed,
+                system_prompt=system_prompt,
+                message=f"failed to load VL rewriter model: {e}")
+        import torch
+
+        from .qwen_vl import process_vision_info
+
+        messages = [
+            {"role": "system",
+             "content": [{"type": "text", "text": system_prompt}]},
+            {"role": "user",
+             "content": [{"type": "image", "image": image},
+                         {"type": "text", "text": prompt}]},
+        ]
+        text = self._tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+        image_inputs, video_inputs = process_vision_info(messages)
+        inputs = self._tokenizer(
+            text=[text], images=image_inputs, videos=video_inputs,
+            padding=True, return_tensors="pt")
+        with torch.no_grad():
+            out = self._model.generate(**inputs, max_new_tokens=512)
+        trimmed = out[0][inputs.input_ids.shape[1]:]
+        expanded = self._tokenizer.batch_decode(
+            [trimmed], skip_special_tokens=True,
+            clean_up_tokenization_spaces=False)[0]
         return PromptOutput(
             status=True, prompt=expanded.strip(), seed=seed,
             system_prompt=system_prompt, message="")

@@ -150,3 +150,36 @@ def load_ref_t5():
     sys.modules["ref_t5"] = mod
     exec(compile(src, path, "exec"), mod.__dict__)
     return mod
+
+
+def load_ref_qwen_vl():
+    """Reference qwen_vl_utils with torchvision stubbed (host-only math —
+    smart_resize/smart_nframes — needs no real torchvision)."""
+    tv = sys.modules.get("torchvision")
+    if tv is None:
+        tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+    tv.__version__ = getattr(tv, "__version__", "0.0.0-stub")
+    if not hasattr(tv, "io"):
+        tv.io = types.ModuleType("torchvision.io")
+        sys.modules["torchvision.io"] = tv.io
+    if not hasattr(tv, "transforms"):
+        tvt = types.ModuleType("torchvision.transforms")
+        tvt.InterpolationMode = types.SimpleNamespace(BICUBIC="bicubic")
+        tv.transforms = tvt
+        sys.modules["torchvision.transforms"] = tvt
+    if not hasattr(tv.transforms, "InterpolationMode"):
+        tv.transforms.InterpolationMode = types.SimpleNamespace(
+            BICUBIC="bicubic")
+    if "requests" not in sys.modules:
+        try:
+            import requests  # noqa: F401
+        except ImportError:
+            sys.modules["requests"] = types.ModuleType("requests")
+
+    path = os.path.join(REF, "wan/utils/qwen_vl_utils.py")
+    mod = types.ModuleType("ref_qwen_vl_utils")
+    mod.__file__ = path
+    sys.modules["ref_qwen_vl_utils"] = mod
+    exec(compile(open(path).read(), path, "exec"), mod.__dict__)
+    return mod
