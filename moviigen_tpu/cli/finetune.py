@@ -87,7 +87,7 @@ def main(argv=None):
     from ..models import wan_model
     from ..ops.rope import rope_3d_freqs
     from ..parallel.distributed import maybe_initialize_distributed
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import make_pod_mesh
 
     maybe_initialize_distributed()
     from ..training import TrainConfig
@@ -104,7 +104,8 @@ def main(argv=None):
     sp = args.sp_size
     assert n_dev % sp == 0, f"sp_size {sp} must divide devices {n_dev}"
     data_par = n_dev // sp
-    mesh = make_mesh(data=data_par, seq=sp) if n_dev > 1 else None
+    # multi-slice pods: DP spans slices over DCN, SP stays on ICI
+    mesh = make_pod_mesh(data=data_par, seq=sp) if n_dev > 1 else None
     logging.info("devices=%d mesh=%s", n_dev,
                  dict(mesh.shape) if mesh else None)
 

@@ -123,12 +123,17 @@ def generate(args) -> str:
         assert n_dev % sp == 0, (
             f"sequence-parallel degree {sp} must divide device count "
             f"{n_dev}")
+        # the inference batch is the CFG pair (cond+uncond), so the data
+        # axis is at most 2; devices beyond 2·sp stay idle (the reference
+        # requires ulysses·ring == world_size for the same reason,
+        # generate.py:216-229)
+        data = min(n_dev // sp, 2)
         if args.ulysses_size > 1 and args.ring_size > 1:
             # hybrid USP: 3-axis mesh, ring outer / ulysses inner
-            mesh = make_mesh(data=n_dev // sp, ring=args.ring_size,
+            mesh = make_mesh(data=data, ring=args.ring_size,
                              seq=args.ulysses_size)
         else:
-            mesh = make_mesh(data=n_dev // sp, seq=sp)
+            mesh = make_mesh(data=data, seq=sp)
         logging.info("mesh: %s", mesh)
 
     if args.use_prompt_extend:

@@ -183,6 +183,31 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     return jnp.matmul(x, k, precision=prec) + p["bias"].astype(k.dtype)
 
 
+def _dense_multi(ps, x: jnp.ndarray, dtype=None):
+    """Several projections of the SAME input as ONE wide GEMM.
+
+    TPU MXU throughput scales with the output width: measured on v5e,
+    [L,1536]x[1536,1536] runs at ~59 TF/s while [L,1536]x[1536,4608]
+    runs at ~150 TF/s — so q/k/v (and cross k/v) are computed as a single
+    concatenated matmul and split, which is the same arithmetic per
+    output column. Handles the int8 weight-only form like ``_dense``."""
+    def kern(p, cd):
+        if "q8" in p:
+            return p["q8"].astype(cd) * p["scale"].astype(cd)[..., None, :]
+        return p["kernel"].astype(cd) if dtype is not None else p["kernel"]
+
+    cd = dtype or (jnp.bfloat16 if any("q8" in p for p in ps)
+                   else ps[0]["kernel"].dtype)
+    ks = [kern(p, cd) for p in ps]
+    sizes = [k.shape[-1] for k in ks]
+    kcat = jnp.concatenate(ks, axis=-1)
+    bcat = jnp.concatenate([p["bias"].astype(cd) for p in ps], axis=-1)
+    prec = jax.lax.Precision.HIGHEST if kcat.dtype == jnp.float32 else None
+    out = jnp.matmul(x.astype(cd), kcat, precision=prec) + bcat
+    splits = np.cumsum(sizes)[:-1].tolist()
+    return jnp.split(out, splits, axis=-1)
+
+
 def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
     """[cos | sin] sinusoidal embedding (ref model.py:15-25; fp64 there,
     fp32 here — difference is below bf16 noise, unit-tested)."""
@@ -206,9 +231,7 @@ def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
                    attn_fn=None) -> jnp.ndarray:
     """WanSelfAttention (ref model.py:102-156): full-dim RMS qk-norm,
     3D RoPE on q/k, non-causal attention with key-length masking."""
-    q = _dense(p["q"], x, compute_dtype)
-    k = _dense(p["k"], x, compute_dtype)
-    v = _dense(p["v"], x, compute_dtype)
+    q, k, v = _dense_multi([p["q"], p["k"], p["v"]], x, compute_dtype)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
         k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
@@ -234,8 +257,7 @@ def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     zero-padded text tokens are attended to after the text MLP; we keep
     that exact behavior."""
     q = _dense(p["q"], x, compute_dtype)
-    k = _dense(p["k"], context, compute_dtype)
-    v = _dense(p["v"], context, compute_dtype)
+    k, v = _dense_multi([p["k"], p["v"]], context, compute_dtype)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
         k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
@@ -262,10 +284,9 @@ def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     q = _qkv_heads(q, cfg.num_heads)
 
     def kv(pk, pv, norm_k, ctx):
-        k = _dense(pk, ctx, compute_dtype)
+        k, v = _dense_multi([pk, pv], ctx, compute_dtype)
         if norm_k is not None:
             k = rms_norm(k, norm_k["scale"], eps=cfg.eps)
-        v = _dense(pv, ctx, compute_dtype)
         return _qkv_heads(k, cfg.num_heads), _qkv_heads(v, cfg.num_heads)
 
     k_t, v_t = kv(p["k"], p["v"], p.get("norm_k"), ctx_txt)

@@ -53,3 +53,42 @@ def mesh_axis_size(mesh: Optional[Mesh], axis: str) -> int:
     if mesh is None or axis not in mesh.shape:
         return 1
     return mesh.shape[axis]
+
+
+def make_pod_mesh(data: int = 1, seq: int = 1, ring: int = 1,
+                  num_slices: Optional[int] = None,
+                  devices: Optional[Sequence] = None) -> Mesh:
+    """Multi-slice (DCN-aware) mesh for multi-pod TPU deployments.
+
+    The ``data`` axis spans slices over DCN (slow inter-pod links carry
+    only data-parallel gradient traffic); ``ring``/``seq`` collectives
+    (all_to_all / ppermute every block) stay within a slice on ICI.
+    This is the layout rule from the reference's multi-node setup
+    (``finetune_multi_node.sh``: nodes are DP, GPUs within a node are SP)
+    restated for TPU pod slices.
+
+    With one slice (or non-TPU devices) this degrades to ``make_mesh``.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if num_slices is None:
+        num_slices = len({getattr(d, "slice_index", 0) for d in devices})
+    if num_slices <= 1:
+        return make_mesh(data=data, seq=seq, ring=ring, devices=devices)
+    if data % num_slices != 0:
+        raise ValueError(
+            f"data axis {data} must be a multiple of num_slices "
+            f"{num_slices} (each slice carries data/num_slices DP ranks)")
+    from jax.experimental import mesh_utils
+
+    if ring > 1:
+        mesh_shape = (data // num_slices, ring, seq)
+        dcn_shape = (num_slices, 1, 1)
+        names = ("data", "ring", "seq")
+    else:
+        mesh_shape = (data // num_slices, seq)
+        dcn_shape = (num_slices, 1)
+        names = ("data", "seq")
+    dev = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape, dcn_shape, devices=devices)
+    return Mesh(dev, axis_names=names)

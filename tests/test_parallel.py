@@ -176,3 +176,20 @@ def test_hybrid_usp_requires_ring_axis(setup):
         sequence_parallel_forward(
             params, x, t, ctx, CFG, rope, mesh, sp_mode="usp",
             compute_dtype=jnp.float32, attn_backend="xla")
+
+
+def test_pod_mesh_single_slice_fallback(setup):
+    """CPU devices have no slice_index → make_pod_mesh == make_mesh."""
+    from moviigen_tpu.parallel.mesh import make_pod_mesh
+
+    mesh = make_pod_mesh(data=2, seq=4)
+    assert dict(mesh.shape) == {"data": 2, "seq": 4}
+    mesh = make_pod_mesh(data=2, ring=2, seq=2)
+    assert dict(mesh.shape) == {"data": 2, "ring": 2, "seq": 2}
+
+
+def test_pod_mesh_rejects_indivisible_data():
+    from moviigen_tpu.parallel.mesh import make_pod_mesh
+
+    with pytest.raises(ValueError):
+        make_pod_mesh(data=3, seq=2, num_slices=2)
