@@ -92,6 +92,11 @@ class PipelineConfig:
     sample_fps: int = 16
     param_dtype: str = "bfloat16"
     t5_dtype: str = "bfloat16"
+    # VAE decode compute dtype: bf16 runs the decoder convs ~3.9x faster
+    # on TPU at >50 dB PSNR vs fp32 (above 8-bit quantization noise; the
+    # reference itself caches bf16 latents, preprocess.sh). Set
+    # "float32" for bit-parity work.
+    vae_decode_dtype: str = "bfloat16"
     # checkpoint file conventions within --ckpt_dir (parity with reference)
     t5_checkpoint: str = "models_t5_umt5-xxl-enc-bf16.pth"
     t5_tokenizer: str = "google/umt5-xxl"

@@ -130,12 +130,17 @@ class WanT2V:
 
         def _decode(p, z):
             # streaming decode bounds activation memory for real clip
-            # sizes; the full-tensor path is faster for tiny shapes
+            # sizes; the full-tensor path is faster for tiny shapes.
+            # compute dtype per config (bf16 default: ~3.9x faster convs,
+            # >50 dB vs fp32)
+            z = z.astype(jnp.dtype(config.vae_decode_dtype))
             t, h, w = z.shape[2], z.shape[3] * 8, z.shape[4] * 8
             frames = 1 + (t - 1) * 4
             if frames * h * w > 2 ** 24:  # ~16M output pixels
-                return decode_streaming(p, z, config.vae)
-            return vaem.decode(p, z, config.vae)
+                out = decode_streaming(p, z, config.vae)
+            else:
+                out = vaem.decode(p, z, config.vae)
+            return out.astype(jnp.float32)
 
         self._vae_decode = jax.jit(_decode)
         self._denoise_step_cache = {}

@@ -46,3 +46,26 @@ def test_streaming_jittable(params):
     z = jnp.zeros((1, CFG.z_dim, 3, 4, 4))
     out = f(params, z)
     assert out.shape == (1, 3, 9, 32, 32)
+
+
+def test_decode_bf16_close_to_fp32():
+    """The pipeline decodes in bf16 by default (config.vae_decode_dtype);
+    it must stay visually lossless vs fp32 (PSNR above the ~48 dB 8-bit
+    quantization floor on TPU; looser here to absorb CPU/TPU variance)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import vae as vaem
+    from moviigen_tpu.models.vae_streaming import decode_streaming
+
+    cfg = WAN_CONFIGS["t2v-tiny"].vae
+    params = vaem.init_params(jax.random.PRNGKey(0), cfg)
+    z = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, cfg.z_dim, 3, 8, 8)), jnp.float32)
+    o32 = np.asarray(decode_streaming(params, z, cfg), np.float32)
+    o16 = np.asarray(decode_streaming(
+        params, z.astype(jnp.bfloat16), cfg), np.float32)
+    rng = float(o32.max() - o32.min())
+    psnr = 10 * np.log10(rng ** 2 / float(np.mean((o32 - o16) ** 2)))
+    assert psnr > 40.0, f"bf16 decode PSNR {psnr:.1f} dB too low"
