@@ -87,17 +87,28 @@ def init_train_state(params: Dict[str, Any], tc: TrainConfig):
 
 def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
                     rope: RopeTables, seq_len: Optional[int] = None,
-                    attn_backend: str = "auto", mesh=None):
+                    attn_backend: str = "auto", mesh=None,
+                    sp_mode: Optional[str] = None):
     """Returns ``step(params, opt_state, batch, key) →
     (params, opt_state, metrics)``; jit at the call site with the desired
-    shardings. With a mesh whose ``seq`` axis > 1, the forward runs
-    sequence-parallel (Ulysses) — the training analog of
-    ``model_seq.py``'s ``sp_size`` (finetune.sh: sp_size 8)."""
+    shardings. With a mesh whose sequence axes (``seq``, and ``ring`` on
+    a 3-axis mesh) exceed 1, the forward runs sequence-parallel — the
+    training analog of ``model_seq.py``'s ``sp_size`` (finetune.sh:
+    sp_size 8). ``sp_mode`` defaults to 'usp' on a (data, ring, seq)
+    mesh and 'ulysses' otherwise (the reference trains Ulysses-only;
+    ring/hybrid extend it to >per-chip sequences)."""
     sigmas_tab, _ = train_schedule(tc.num_train_timesteps,
                                    tc.schedule_shift)
     sigmas_tab = jnp.asarray(sigmas_tab)
     opt = make_optimizer(tc)
-    use_sp = mesh is not None and mesh.shape.get("seq", 1) > 1
+    sp_total = 1
+    if mesh is not None:
+        for a in ("ring", "seq"):
+            sp_total *= mesh.shape.get(a, 1)
+    use_sp = sp_total > 1
+    if sp_mode is None:
+        sp_mode = "usp" if (mesh is not None
+                            and "ring" in mesh.axis_names) else "ulysses"
 
     def loss_fn(params, latents, context, noise, sigmas):
         noisy = flow_match_noisy(latents, noise, sigmas)
@@ -107,7 +118,7 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
 
             pred = sequence_parallel_forward(
                 params, noisy, t, context, cfg, rope, mesh,
-                seq_len=seq_len, remat=tc.remat,
+                seq_len=seq_len, remat=tc.remat, sp_mode=sp_mode,
                 attn_backend=attn_backend, fsdp_params=True)
         else:
             pred = wan_model.forward(

@@ -193,3 +193,44 @@ def test_pod_mesh_rejects_indivisible_data():
 
     with pytest.raises(ValueError):
         make_pod_mesh(data=3, seq=2, num_slices=2)
+
+
+def test_train_step_hybrid_usp_mesh(setup):
+    """One full training step (fwd+bwd+AdamW) over a (data, ring, seq)
+    mesh: loss must match the single-device step on the same key."""
+    from jax.sharding import NamedSharding
+    from moviigen_tpu.training import (TrainConfig, init_train_state,
+                                       make_train_step)
+
+    params = wan_model.init_params(jax.random.PRNGKey(0), CFG,
+                                   dtype=jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), CFG.head_dim)
+    tc = TrainConfig(remat=True)
+    batch = {
+        "latents": jnp.asarray(np.random.default_rng(1).standard_normal(
+            (2, CFG.in_dim, 2, 8, 8)), jnp.float32),
+        "context": jnp.asarray(np.random.default_rng(2).standard_normal(
+            (2, CFG.text_len, CFG.text_dim)), jnp.float32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    step1 = make_train_step(CFG, tc, rope, attn_backend="xla")
+    opt, opt_state = init_train_state(params, tc)
+    _, _, m1 = jax.jit(step1)(params, opt_state, batch, key)
+
+    mesh = make_mesh(data=2, ring=2, seq=2)
+    stepN = make_train_step(CFG, tc, rope, attn_backend="xla", mesh=mesh)
+    specs = dit_param_specs(params, axis=("ring", "seq"))
+    sharded = shard_params(mesh, params, specs)
+    opt2, opt_state2 = init_train_state(sharded, tc)
+    with mesh:
+        b2 = {
+            "latents": jax.device_put(batch["latents"], NamedSharding(
+                mesh, P("data", None, None, None, None))),
+            "context": jax.device_put(batch["context"], NamedSharding(
+                mesh, P("data", None, None))),
+        }
+        _, _, mN = jax.jit(stepN)(sharded, opt_state2, b2, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
+                               rtol=2e-2)
+    assert np.isfinite(float(mN["grad_norm"]))
