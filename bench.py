@@ -23,7 +23,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def main():
+def main(argv=None):
+    import argparse
+
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -31,6 +33,13 @@ def main():
     from moviigen_tpu.configs import WAN_CONFIGS
     from moviigen_tpu.models import wan_model
     from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="480*832",
+                    help="WxH preset: 480*832 (default, the headline), "
+                         "1280*720, 1920*832")
+    ap.add_argument("--frame_num", type=int, default=81)
+    args = ap.parse_args(argv)
 
     dev = jax.devices()[0]
     hbm_gb = None
@@ -44,10 +53,14 @@ def main():
     task = "t2v-14B" if big else "t2v-1.3B"
     cfg = WAN_CONFIGS[task].model
 
-    # 480x832 @ 81 frames → latent (F',H',W') = (21, 60, 104) → 32,760 tok
-    grid = (21, 30, 52)
+    # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent
+    # (F',H',W') = (21, 104, 60) → 32,760 tokens (formula ref
+    # wan/text2video.py:160-166)
+    w, h = (int(v) for v in args.size.split("*"))
+    fp = (args.frame_num - 1) // 4 + 1
+    grid = (fp, h // 8 // 2, w // 8 // 2)
     tokens = grid[0] * grid[1] * grid[2]
-    lat_shape = (1, cfg.in_dim, 21, 60, 104)
+    lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
     params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
                                    dtype=jnp.bfloat16)
@@ -103,7 +116,8 @@ def main():
     vs_baseline = a100_sec / sec_per_step  # >1 == faster than A100 roofline
 
     print(json.dumps({
-        "metric": f"sec_per_cfg_denoise_step_{task}_480x832_81f",
+        "metric": (f"sec_per_cfg_denoise_step_{task}_"
+                   f"{w}x{h}_{args.frame_num}f"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(vs_baseline, 3),

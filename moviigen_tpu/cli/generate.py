@@ -106,7 +106,7 @@ def generate(args) -> str:
     import jax
 
     from ..parallel.distributed import maybe_initialize_distributed
-    from ..parallel.mesh import make_mesh
+    from ..parallel.mesh import make_pod_mesh
     from ..pipelines.text2video import WanT2V
 
     maybe_initialize_distributed()
@@ -130,10 +130,10 @@ def generate(args) -> str:
         data = min(n_dev // sp, 2)
         if args.ulysses_size > 1 and args.ring_size > 1:
             # hybrid USP: 3-axis mesh, ring outer / ulysses inner
-            mesh = make_mesh(data=data, ring=args.ring_size,
-                             seq=args.ulysses_size)
+            mesh = make_pod_mesh(data=data, ring=args.ring_size,
+                                 seq=args.ulysses_size)
         else:
-            mesh = make_mesh(data=data, seq=sp)
+            mesh = make_pod_mesh(data=data, seq=sp)
         logging.info("mesh: %s", mesh)
 
     if args.use_prompt_extend:

@@ -118,7 +118,11 @@ def sequence_parallel_forward(
         assert cfg.num_heads % sp == 0, (
             f"num_heads {cfg.num_heads} must divide by seq axis {sp} "
             "(ref generate.py:238-239)")
-    elif sp_mode != "ring":
+    elif sp_mode == "ring":
+        assert seq_axes == ("seq",), (
+            "pure ring runs on a (data, seq) mesh; use sp_mode='usp' on "
+            "a (data, ring, seq) mesh")
+    else:
         raise ValueError(f"unknown sp_mode: {sp_mode}")
 
     xt, e, e0, ctx, grid, k_lens = wan_model.embed_inputs(

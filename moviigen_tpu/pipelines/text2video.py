@@ -120,9 +120,10 @@ class WanT2V:
                 shard_pipeline_params(
                     mesh, self.t5_params, self.vae_params, self.dit_params)
             if sp_size is None:
-                self.sp_size = int(np.prod(
-                    [mesh.shape[a] for a in ("ring", "seq")
-                     if a in mesh.shape]))
+                from ..parallel.mesh import mesh_axis_size
+
+                self.sp_size = mesh_axis_size(mesh, "ring") \
+                    * mesh_axis_size(mesh, "seq")
 
         self._t5_encode = jax.jit(
             lambda p, ids, mask: t5m.encode(p, ids, mask, config.t5))
@@ -168,12 +169,14 @@ class WanT2V:
 
     def _denoise_fn_raw(self, grid, seq_len: int, guide_scale: float):
         """Unjitted single-step denoise closure (for scan composition)."""
+        from ..parallel.mesh import mesh_axis_size
+
         cfg = self.config.model
         rope = rope_3d_freqs(grid, cfg.head_dim)
         backend = self.attn_backend
         mesh = self.mesh
-        use_sp = mesh is not None and int(np.prod(
-            [mesh.shape.get(a, 1) for a in ("ring", "seq")])) > 1
+        use_sp = mesh is not None and mesh_axis_size(mesh, "ring") \
+            * mesh_axis_size(mesh, "seq") > 1
 
         def step(dit_params, latent, t, ctx_pair):
             x2 = jnp.concatenate([latent, latent], axis=0)
@@ -213,33 +216,8 @@ class WanT2V:
     def _denoise_fn(self, grid, seq_len: int, guide_scale: float):
         key = (grid, seq_len, guide_scale)
         if key not in self._denoise_step_cache:
-            cfg = self.config.model
-            rope = rope_3d_freqs(grid, cfg.head_dim)
-            backend = self.attn_backend
-
-            mesh = self.mesh
-            use_sp = mesh is not None and int(np.prod(
-            [mesh.shape.get(a, 1) for a in ("ring", "seq")])) > 1
-
-            def step(dit_params, latent, t, ctx_pair):
-                # latent: [1, C, F', H', W']; ctx_pair: [2, L, text_dim]
-                x2 = jnp.concatenate([latent, latent], axis=0)
-                t2 = jnp.concatenate([t, t], axis=0)
-                if use_sp:
-                    from ..parallel.ulysses import sequence_parallel_forward
-
-                    pred = sequence_parallel_forward(
-                        dit_params, x2, t2, ctx_pair, cfg, rope, mesh,
-                        seq_len=seq_len, attn_backend=backend,
-                        sp_mode=self.sp_mode, fsdp_params=True)
-                else:
-                    pred = wan_model.forward(
-                        dit_params, x2, t2, ctx_pair, cfg, rope,
-                        seq_len=seq_len, attn_backend=backend)
-                cond, uncond = pred[:1], pred[1:]
-                return uncond + guide_scale * (cond - uncond)
-
-            self._denoise_step_cache[key] = jax.jit(step)
+            self._denoise_step_cache[key] = jax.jit(
+                self._denoise_fn_raw(grid, seq_len, guide_scale))
         return self._denoise_step_cache[key]
 
     # ------------------------------------------------------------------

@@ -101,11 +101,9 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
                                    tc.schedule_shift)
     sigmas_tab = jnp.asarray(sigmas_tab)
     opt = make_optimizer(tc)
-    sp_total = 1
-    if mesh is not None:
-        for a in ("ring", "seq"):
-            sp_total *= mesh.shape.get(a, 1)
-    use_sp = sp_total > 1
+    from ..parallel.mesh import mesh_axis_size
+
+    use_sp = mesh_axis_size(mesh, "ring") * mesh_axis_size(mesh, "seq") > 1
     if sp_mode is None:
         sp_mode = "usp" if (mesh is not None
                             and "ring" in mesh.axis_names) else "ulysses"

@@ -68,11 +68,15 @@ class PromptExpander:
 
     def __call__(self, prompt, tar_lang="ch", image=None, seed=-1,
                  *args, **kwargs) -> PromptOutput:
+        # VL dispatch only when the expander is a VL one (ref
+        # prompt_extend.py:69-72): a text rewriter given an image ignores
+        # it rather than crashing in a processor that takes no images.
         system_prompt = self.decide_system_prompt(tar_lang=tar_lang)
-        if image is None:
-            return self.extend(prompt, system_prompt, seed, *args, **kwargs)
-        return self.extend_with_img(
-            prompt, system_prompt, image=image, seed=seed, *args, **kwargs)
+        if image is not None and self.is_vl:
+            return self.extend_with_img(
+                prompt, system_prompt, image=image, seed=seed,
+                *args, **kwargs)
+        return self.extend(prompt, system_prompt, seed, *args, **kwargs)
 
 
 class QwenPromptExpander(PromptExpander):
@@ -80,10 +84,14 @@ class QwenPromptExpander(PromptExpander):
     host-side transformers call; weights load lazily on first use."""
 
     DEFAULT_MODEL = "ZuluVision/MoviiGen1.1_Prompt_Rewriter"
+    DEFAULT_VL_MODEL = "Qwen/Qwen2.5-VL-7B-Instruct"
 
     def __init__(self, model_name: Optional[str] = None, device: str = "cpu",
                  **kwargs):
-        super().__init__(model_name or self.DEFAULT_MODEL, **kwargs)
+        if model_name is None:
+            model_name = self.DEFAULT_VL_MODEL if kwargs.get("is_vl") \
+                else self.DEFAULT_MODEL
+        super().__init__(model_name, **kwargs)
         self.device = device
         self._model = None
         self._tokenizer = None
@@ -207,6 +215,9 @@ class DashScopePromptExpander(PromptExpander):
 
 def build_prompt_expander(method: str, model_name: Optional[str] = None,
                           task: str = "t2v-14B", **kwargs) -> PromptExpander:
+    # i2v tasks get the VL rewriter (ref generate.py:231-235 passes
+    # is_vl="i2v" in task)
+    kwargs.setdefault("is_vl", "i2v" in task)
     if method == "dashscope":
         return DashScopePromptExpander(model_name=model_name, **kwargs)
     if method == "local_qwen":

@@ -52,3 +52,24 @@ def test_validation_prompt_assets_exist():
     for f in files:
         text = open(os.path.join(base, f)).read().strip()
         assert len(text) > 20
+
+
+def test_prompt_expander_vl_dispatch():
+    """Text-only expander ignores an image (ref prompt_extend.py:69-72);
+    the builder sets is_vl from the task; VL default model differs."""
+    from moviigen_tpu.utils.prompt_extend import (
+        QwenPromptExpander, build_prompt_expander)
+
+    text_exp = build_prompt_expander("local_qwen", task="t2v-14B")
+    assert not text_exp.is_vl
+    vl_exp = build_prompt_expander("local_qwen", task="i2v-14B")
+    assert vl_exp.is_vl
+    assert vl_exp.model_name == QwenPromptExpander.DEFAULT_VL_MODEL
+    assert text_exp.model_name == QwenPromptExpander.DEFAULT_MODEL
+
+    # image passed to a text-only expander must NOT route to
+    # extend_with_img (no crash in a tokenizer without images kwargs);
+    # with no local weights this degrades to status=False via extend()
+    exp = QwenPromptExpander(model_name="/nonexistent")
+    out = exp("a cat", image=object())
+    assert not out.status and "rewriter" in out.message
