@@ -39,6 +39,9 @@ def main(argv=None):
                     help="WxH preset: 480*832 (default, the headline), "
                          "1280*720, 1920*832")
     ap.add_argument("--frame_num", type=int, default=81)
+    ap.add_argument("--ffn_chunk", type=int, default=None,
+                    help="stream tokens through the FFN in chunks "
+                         "(needed for 131k-token 1080p on 16 GB)")
     args = ap.parse_args(argv)
 
     dev = jax.devices()[0]
@@ -52,6 +55,10 @@ def main(argv=None):
     big = hbm_gb is not None and hbm_gb > 40
     task = "t2v-14B" if big else "t2v-1.3B"
     cfg = WAN_CONFIGS[task].model
+    if args.ffn_chunk:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk)
 
     # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent
     # (F',H',W') = (21, 104, 60) → 32,760 tokens (formula ref

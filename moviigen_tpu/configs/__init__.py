@@ -9,7 +9,7 @@ hashable and usable as jit static arguments.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -33,6 +33,11 @@ class WanModelConfig:
     qk_norm: bool = True
     cross_attn_norm: bool = True
     eps: float = 1e-6
+    # token-chunk size for the FFN (None = whole sequence at once).
+    # Bounds the [B, L, ffn_dim] transient — at 131k tokens (1080p) that
+    # buffer alone is ~4.7 GB in bf16, which is why the reference needs
+    # multi-GPU SP there; chunking lets long sequences run single-chip.
+    ffn_chunk: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

@@ -337,11 +337,37 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
 
     # FFN with AdaLN (model.py:307-309)
     xf = layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[4]) + e[3]
-    h = _dense(bp["ffn"]["fc1"], xf, compute_dtype)
-    h = jax.nn.gelu(h, approximate=True)  # GELU-tanh (model.py:268)
-    y = _dense(bp["ffn"]["fc2"], h, compute_dtype)
+    y = _ffn(bp["ffn"], xf, cfg, compute_dtype)
     x = x + y.astype(jnp.float32) * e[5]
     return x
+
+
+def _ffn(p: Params, xf: jnp.ndarray, cfg: WanModelConfig,
+         compute_dtype) -> jnp.ndarray:
+    """fc1 → GELU-tanh → fc2 (ref model.py:267-269,307-309).
+
+    With ``cfg.ffn_chunk`` set, tokens stream through the FFN in chunks
+    via ``lax.map`` so the [B, chunk, ffn_dim] transient replaces the
+    [B, L, ffn_dim] one — per-token arithmetic is unchanged (the FFN has
+    no cross-token coupling), so numerics are identical."""
+    chunk = cfg.ffn_chunk
+    if not chunk or xf.shape[1] <= chunk:
+        h = _dense(p["fc1"], xf, compute_dtype)
+        h = jax.nn.gelu(h, approximate=True)  # GELU-tanh (model.py:268)
+        return _dense(p["fc2"], h, compute_dtype)
+
+    b, l, d = xf.shape
+    lp = -(-l // chunk) * chunk
+    xp = jnp.pad(xf, ((0, 0), (0, lp - l), (0, 0))) if lp != l else xf
+    xs = xp.reshape(b, lp // chunk, chunk, d).transpose(1, 0, 2, 3)
+
+    def body(xc):
+        h = _dense(p["fc1"], xc, compute_dtype)
+        h = jax.nn.gelu(h, approximate=True)
+        return _dense(p["fc2"], h, compute_dtype)
+
+    ys = jax.lax.map(body, xs)
+    return ys.transpose(1, 0, 2, 3).reshape(b, lp, -1)[:, :l]
 
 
 # --------------------------------------------------------------------------

@@ -177,6 +177,14 @@ class WanT2V:
         mesh = self.mesh
         use_sp = mesh is not None and mesh_axis_size(mesh, "ring") \
             * mesh_axis_size(mesh, "seq") > 1
+        if not use_sp and cfg.ffn_chunk is None:
+            # single-chip long sequences: bound the [2B, L, ffn] bf16
+            # transient to ~2 GB by streaming tokens through the FFN
+            # (enables 131k-token 1080p on one 16 GB chip)
+            if 4 * seq_len * cfg.ffn_dim > (1 << 31):
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, ffn_chunk=16384)
 
         def step(dit_params, latent, t, ctx_pair):
             x2 = jnp.concatenate([latent, latent], axis=0)

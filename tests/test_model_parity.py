@@ -184,3 +184,35 @@ def test_i2v_forward_parity():
         clip_fea=jnp.asarray(clip_fea), y=jnp.asarray(y[None])))[0]
 
     np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_ffn_chunking_invariance():
+    """cfg.ffn_chunk streams tokens through the FFN; the FFN has no
+    cross-token coupling so outputs must match the unchunked forward."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    ref = wan_model.forward(params, x, t, ctx, cfg, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    # chunk 12 does not divide the 32 tokens → also exercises padding
+    cfg_c = dataclasses.replace(cfg, ffn_chunk=12)
+    out = wan_model.forward(params, x, t, ctx, cfg_c, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
