@@ -33,6 +33,9 @@ EXAMPLE_PROMPT = {
     },
     "t2i-14B": {"prompt": "一个朴素端庄的美人"},
     "t2v-tiny": {"prompt": "a tiny test video"},
+    "i2v-14B": {"prompt": "Summer beach vacation style, a white cat "
+                          "wearing sunglasses sits on a surfboard."},
+    "i2v-tiny": {"prompt": "a tiny test image-to-video"},
 }
 
 
@@ -57,6 +60,8 @@ def _validate_args(args):
         f"{SUPPORTED_SIZES[args.task]}")
     if args.prompt is None:
         args.prompt = EXAMPLE_PROMPT[args.task]["prompt"]
+    if "i2v" in args.task:
+        assert args.image is not None, "--image is required for i2v tasks"
     assert args.base_seed is not None
 
 
@@ -83,6 +88,8 @@ def _parse_args(argv=None):
                         help="keep T5 on host (compatibility flag)")
     parser.add_argument("--save_file", type=str, default=None)
     parser.add_argument("--prompt", type=str, default=None)
+    parser.add_argument("--image", type=str, default=None,
+                        help="conditioning image path (i2v tasks)")
     parser.add_argument("--use_prompt_extend", action="store_true",
                         default=False)
     parser.add_argument("--prompt_extend_method", type=str,
@@ -157,19 +164,43 @@ def generate(args) -> str:
         sp_mode = "ring"
     else:
         sp_mode = "ulysses"
-    pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
-                  sp_mode=sp_mode)
+    if "i2v" in args.task:
+        import numpy as np
+        from PIL import Image
 
-    video = pipe.generate(
-        args.prompt,
-        size=SIZE_CONFIGS[args.size],
-        frame_num=args.frame_num,
-        shift=args.sample_shift,
-        sample_solver=args.sample_solver,
-        sampling_steps=args.sample_steps,
-        guide_scale=args.sample_guide_scale,
-        seed=args.base_seed,
-    )
+        from ..pipelines.image2video import WanI2V
+
+        im = Image.open(args.image).convert("RGB")
+        w, h = SIZE_CONFIGS[args.size]
+        im = im.resize((w, h))
+        image = np.asarray(im, np.float32).transpose(2, 0, 1) \
+            / 127.5 - 1.0
+        pipe = WanI2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
+                      sp_mode=sp_mode)
+        video = pipe.generate(
+            args.prompt,
+            image,
+            size=SIZE_CONFIGS[args.size],
+            frame_num=args.frame_num,
+            shift=args.sample_shift,
+            sample_solver=args.sample_solver,
+            sampling_steps=args.sample_steps,
+            guide_scale=args.sample_guide_scale,
+            seed=args.base_seed,
+        )
+    else:
+        pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
+                      sp_mode=sp_mode)
+        video = pipe.generate(
+            args.prompt,
+            size=SIZE_CONFIGS[args.size],
+            frame_num=args.frame_num,
+            shift=args.sample_shift,
+            sample_solver=args.sample_solver,
+            sampling_steps=args.sample_steps,
+            guide_scale=args.sample_guide_scale,
+            seed=args.base_seed,
+        )
 
     if args.save_file is None:
         ts = datetime.now().strftime("%Y%m%d_%H%M%S")

@@ -46,3 +46,31 @@ def test_i2v_conditioning_shapes():
         vae_cfg=cfg.vae, clip_cfg=ccfg)
     assert y.shape == (4 + cfg.vae.z_dim, 2, 6, 8)
     assert feats.shape == (1, 1 + ccfg.num_patches, ccfg.dim)
+
+
+def test_i2v_cli_end_to_end(tmp_path):
+    """--task i2v-* routes through WanI2V with --image conditioning."""
+    import numpy as np
+    from PIL import Image
+
+    from moviigen_tpu.cli.generate import main
+
+    img = tmp_path / "cond.png"
+    Image.fromarray(np.random.default_rng(0).integers(
+        0, 255, (64, 64, 3), dtype=np.uint8)).save(img)
+    out = main(["--task", "i2v-tiny", "--size", "480*832",
+                "--frame_num", "5", "--sample_steps", "2",
+                "--base_seed", "9", "--image", str(img),
+                "--save_file", str(tmp_path / "out.mp4")])
+    import os
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_i2v_cli_requires_image():
+    import pytest
+
+    from moviigen_tpu.cli.generate import main
+
+    with pytest.raises(AssertionError, match="--image"):
+        main(["--task", "i2v-tiny", "--size", "480*832",
+              "--frame_num", "5", "--base_seed", "1"])
