@@ -54,6 +54,9 @@ def _parse_args(argv=None):
     p.add_argument("--max_errors_per_type", type=int, default=100)
     p.add_argument("--checkpoint_interval_sec", type=int, default=300)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--encode_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="VAE encode compute dtype (ref preprocesses bf16)")
     return p.parse_args(argv)
 
 
@@ -141,7 +144,12 @@ def _run(args, processed, save_processed):
 
     tokenizer = load_tokenizer(tok_path, seq_len=cfg.model.text_len,
                                vocab_size=cfg.t5.vocab_size)
-    vae_encode = jax.jit(lambda p, v: vaem.encode(p, v, cfg.vae))
+    # encode in bf16 like the reference (preprocess_wan_dataset.py:373,
+    # 446: the VAE/T5 run under bf16 autocast and latents are cached
+    # bf16); --encode_dtype float32 restores the slow exact path
+    enc_dt = jnp.dtype(args.encode_dtype)
+    vae_encode = jax.jit(
+        lambda p, v: vaem.encode(p, v.astype(enc_dt), cfg.vae))
     t5_encode = jax.jit(lambda p, ids, mask: t5m.encode(p, ids, mask,
                                                         cfg.t5))
 

@@ -102,7 +102,10 @@ def stage_vae(args):
         logging.warning("random-init VAE (no --model_path)")
         vae_params = vaem.init_params(jax.random.PRNGKey(args.seed),
                                       cfg.vae)
-    vae_encode = jax.jit(lambda p, v: vaem.encode(p, v, cfg.vae))
+    # bf16 encode like the reference preprocessing autocast
+    # (preprocess_vae_latents.py runs under the same bf16 policy)
+    vae_encode = jax.jit(
+        lambda p, v: vaem.encode(p, v.astype(jnp.bfloat16), cfg.vae))
 
     bin_crop_sizes = None
     if args.crop_height and args.crop_width:
