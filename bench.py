@@ -110,12 +110,16 @@ def main(argv=None):
     float(chain(params, x, t, ctx))
     sec_per_step = (time.perf_counter() - t0 - overhead) / n_iter
 
-    # FLOPs per CFG step (2 model evals): linear 2·2·P_block·L plus
-    # attention 4·L²·D per layer (QK^T + PV, fwd).
+    # FLOPs per CFG step (2 model evals, MACs×2):
+    # - per token: self qkvo 4d² + cross q/o 2d² + ffn 2·d·ffn
+    # - per layer: cross k/v over the 512 text tokens only
+    # - attention: self QK^T+PV 4·L²·d, cross 4·L·text_len·d
     d, ffn, layers = cfg.dim, cfg.ffn_dim, cfg.num_layers
-    per_layer_lin = 4 * d * d + 2 * d * ffn + 2 * d * d  # qkvo + ffn + xattn kv approx
-    flops_lin = 2 * 2 * layers * per_layer_lin * tokens
-    flops_attn = 2 * 4 * tokens * tokens * d * layers
+    per_tok_lin = 6 * d * d + 2 * d * ffn
+    flops_lin = 2 * 2 * layers * (
+        per_tok_lin * tokens + 2 * d * d * cfg.text_len)
+    flops_attn = 2 * 4 * layers * d * (
+        tokens * tokens + tokens * cfg.text_len)
     total_flops = flops_lin + flops_attn
 
     # A100 roofline for the same workload: 312 bf16 TFLOPs at 60% MFU
