@@ -234,3 +234,30 @@ def test_train_step_hybrid_usp_mesh(setup):
     np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
                                rtol=2e-2)
     assert np.isfinite(float(mN["grad_norm"]))
+
+
+def test_pod_mesh_hybrid_branch_shapes(monkeypatch):
+    """On a (faked) 2-slice fleet, make_pod_mesh must split the data axis
+    across slices via create_hybrid_device_mesh."""
+    from moviigen_tpu.parallel import mesh as mesh_mod
+
+    calls = {}
+
+    def fake_hybrid(mesh_shape, dcn_shape, devices=None):
+        calls["mesh_shape"] = tuple(mesh_shape)
+        calls["dcn_shape"] = tuple(dcn_shape)
+        n = int(np.prod(mesh_shape)) * int(np.prod(dcn_shape))
+        return np.asarray(jax.devices()[:n]).reshape(
+            tuple(np.multiply(mesh_shape, dcn_shape)))
+
+    import jax.experimental.mesh_utils as mu
+
+    monkeypatch.setattr(mu, "create_hybrid_device_mesh", fake_hybrid)
+    m = mesh_mod.make_pod_mesh(data=4, seq=2, num_slices=2)
+    assert calls["mesh_shape"] == (2, 2) and calls["dcn_shape"] == (2, 1)
+    assert dict(m.shape) == {"data": 4, "seq": 2}
+
+    m = mesh_mod.make_pod_mesh(data=2, ring=2, seq=2, num_slices=2)
+    assert calls["mesh_shape"] == (1, 2, 2)
+    assert calls["dcn_shape"] == (2, 1, 1)
+    assert dict(m.shape) == {"data": 2, "ring": 2, "seq": 2}
