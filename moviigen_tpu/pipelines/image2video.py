@@ -124,20 +124,11 @@ class WanI2V(WanT2V):
                                  FlowUniPCMultistepScheduler,
                                  get_sampling_sigmas)
 
+        from .text2video import compute_target_shape_and_seq_len
+
         f = frame_num
-        target_shape = (
-            self.config.vae.z_dim,
-            (f - 1) // self.vae_stride[0] + 1,
-            size[1] // self.vae_stride[1],
-            size[0] // self.vae_stride[2],
-        )
-        seq_len = int(math.ceil(
-            (target_shape[2] * target_shape[3])
-            / (self.patch_size[1] * self.patch_size[2])
-            * target_shape[1] / self.sp_size)) * self.sp_size
-        grid = (target_shape[1] // self.patch_size[0],
-                target_shape[2] // self.patch_size[1],
-                target_shape[3] // self.patch_size[2])
+        target_shape, seq_len, grid = compute_target_shape_and_seq_len(
+            self.config, size, frame_num, self.sp_size)
 
         if n_prompt == "":
             n_prompt = self.sample_neg_prompt

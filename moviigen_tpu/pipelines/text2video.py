@@ -43,6 +43,34 @@ from ..models.tokenizer import load_tokenizer
 from ..ops.rope import rope_3d_freqs
 
 
+def compute_target_shape_and_seq_len(config: PipelineConfig,
+                                     size: Tuple[int, int],
+                                     frame_num: int,
+                                     sp_size: int = 1):
+    """Latent target shape + token seq_len for a (W, H) size preset.
+
+    The reference's latent-shape rule (text2video.py:160-162) and
+    seq_len rounded to an sp multiple (text2video.py:164-166):
+    480×832 @ 81f → 32,760 tokens; 1280×720 → 75,600; 1920×832 →
+    131,040 (SURVEY §4 shape oracles; unit-tested)."""
+    import math as _math
+
+    vs = config.vae_stride
+    ps = config.model.patch_size
+    target_shape = (
+        config.vae.z_dim,
+        (frame_num - 1) // vs[0] + 1,
+        size[1] // vs[1],
+        size[0] // vs[2],
+    )
+    seq_len = int(_math.ceil(
+        (target_shape[2] * target_shape[3]) / (ps[1] * ps[2])
+        * target_shape[1] / sp_size)) * sp_size
+    grid = (target_shape[1] // ps[0], target_shape[2] // ps[1],
+            target_shape[3] // ps[2])
+    return target_shape, seq_len, grid
+
+
 class WanT2V:
     """Owns DiT + T5 + VAE params and orchestrates generation."""
 
@@ -250,23 +278,8 @@ class WanT2V:
         Returns [C, F, H, W] numpy float32 in [-1, 1] (or the final latent
         when ``return_latents``).
         """
-        f = frame_num
-        target_shape = (
-            self.config.vae.z_dim,
-            (f - 1) // self.vae_stride[0] + 1,
-            size[1] // self.vae_stride[1],
-            size[0] // self.vae_stride[2],
-        )
-        # seq_len rounded to an sp multiple (ref text2video.py:164-166)
-        seq_len = int(math.ceil(
-            (target_shape[2] * target_shape[3])
-            / (self.patch_size[1] * self.patch_size[2])
-            * target_shape[1] / self.sp_size)) * self.sp_size
-        grid = (
-            target_shape[1] // self.patch_size[0],
-            target_shape[2] // self.patch_size[1],
-            target_shape[3] // self.patch_size[2],
-        )
+        target_shape, seq_len, grid = compute_target_shape_and_seq_len(
+            self.config, size, frame_num, self.sp_size)
 
         if n_prompt == "":
             n_prompt = self.sample_neg_prompt

@@ -74,3 +74,28 @@ def test_metrics_utils():
     assert 30 < psnr(a, b) < 60
     rep = latent_parity_report(a, b)
     assert abs(rep["max_abs_diff"] - 0.01) < 1e-9
+
+
+def test_seq_len_shape_oracles():
+    """SURVEY §4 shape oracles for the 14B config: token counts derived
+    from the reference formulas (text2video.py:160-166; defaults
+    finetune.py:708, valid_training.py:99)."""
+    from moviigen_tpu.configs import SIZE_CONFIGS, WAN_CONFIGS
+    from moviigen_tpu.pipelines.text2video import (
+        compute_target_shape_and_seq_len)
+
+    cfg = WAN_CONFIGS["t2v-14B"]
+    for size_key, want_tokens, want_lat in [
+        ("480*832", 32760, (16, 21, 104, 60)),
+        ("1280*720", 75600, (16, 21, 90, 160)),
+        ("1920*832", 131040, (16, 21, 104, 240)),
+    ]:
+        shape, seq_len, grid = compute_target_shape_and_seq_len(
+            cfg, SIZE_CONFIGS[size_key], 81)
+        assert seq_len == want_tokens, (size_key, seq_len)
+        assert shape == want_lat, (size_key, shape)
+        assert grid[0] * grid[1] * grid[2] == want_tokens
+    # sp rounding: 75600 is not a multiple of 32 → rounds up
+    _, seq_len, _ = compute_target_shape_and_seq_len(
+        cfg, SIZE_CONFIGS["1280*720"], 81, sp_size=32)
+    assert seq_len == 75616 and seq_len % 32 == 0
