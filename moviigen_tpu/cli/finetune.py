@@ -56,6 +56,9 @@ def _parse_args(argv=None):
     p.add_argument("--lr_scheduler", type=str, default="constant")
     p.add_argument("--lr_warmup_steps", type=int, default=0)
     # flow matching
+    p.add_argument("--compute_ot", action="store_true",
+                   help="optimal-transport latent↔noise pairing (working "
+                        "equivalent of the reference's broken --compute_ot)")
     p.add_argument("--weighting_scheme", type=str, default="uniform",
                    choices=["uniform", "logit_normal", "mode"])
     p.add_argument("--logit_mean", type=float, default=0.0)
@@ -155,6 +158,7 @@ def main(argv=None):
         mode_scale=args.mode_scale,
         num_train_timesteps=cfg.num_train_timesteps,
         remat=args.gradient_checkpointing,
+        compute_ot=args.compute_ot,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,
@@ -207,6 +211,10 @@ def main(argv=None):
         b = latents.shape[0]
         k_noise, k_t = jax.random.split(key)
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        if args.compute_ot:
+            from ..training.ot import ot_pair_noise
+
+            noise = ot_pair_noise(latents, noise)
         u = compute_density_for_timestep_sampling(
             k_t, tc.weighting_scheme, b, tc.logit_mean, tc.logit_std,
             tc.mode_scale)

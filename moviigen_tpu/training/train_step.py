@@ -52,6 +52,7 @@ class TrainConfig:
     num_train_timesteps: int = 1000
     schedule_shift: float = 1.0
     remat: bool = True
+    compute_ot: bool = False             # OT noise pairing (finetune.py:206-208)
     lr_warmup_steps: int = 0
     lr_scheduler: str = "constant"       # constant | linear | cosine
     max_train_steps: int = 100
@@ -133,6 +134,10 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
         b = latents.shape[0]
         k_noise, k_t = jax.random.split(key)
         noise = jax.random.normal(k_noise, latents.shape, jnp.float32)
+        if tc.compute_ot:
+            from .ot import ot_pair_noise
+
+            noise = ot_pair_noise(latents, noise)
         u = compute_density_for_timestep_sampling(
             k_t, tc.weighting_scheme, b, tc.logit_mean, tc.logit_std,
             tc.mode_scale)

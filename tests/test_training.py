@@ -154,3 +154,76 @@ def test_lora_merge_changes_only_targets():
     np.testing.assert_array_equal(
         np.asarray(params["blocks"]["ffn"]["fc1"]["kernel"]),
         np.asarray(merged2["blocks"]["ffn"]["fc1"]["kernel"]))
+
+
+class TestOptimalTransport:
+    """Working equivalent of the reference's broken cosine OT pairing
+    (scripts/train/util/math_util.py:8-29, finetune.py:206-208)."""
+
+    def test_matches_scipy_hungarian(self):
+        import jax.numpy as jnp
+        from scipy.optimize import linear_sum_assignment
+
+        from moviigen_tpu.training.ot import cosine_cost, linear_assignment
+
+        rng = np.random.default_rng(1)
+        for n in (2, 3, 5, 8):
+            x = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+            y = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+            cost = cosine_cost(x, y)
+            got = np.asarray(linear_assignment(cost))
+            want = linear_sum_assignment(np.asarray(cost))[1]
+            c = np.asarray(cost)
+            # optimal cost must match (ties may permute indices)
+            assert np.isclose(c[np.arange(n), got].sum(),
+                              c[np.arange(n), want].sum(), atol=1e-6)
+            assert sorted(got) == list(range(n))  # a permutation
+
+    def test_host_fallback_large_batch(self):
+        import jax.numpy as jnp
+
+        from moviigen_tpu.training.ot import (
+            BRUTE_FORCE_MAX, cosine_optimal_transport)
+
+        rng = np.random.default_rng(2)
+        n = BRUTE_FORCE_MAX + 4
+        x = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+        y = jnp.asarray(rng.standard_normal((n, 8)), jnp.float32)
+        _, col = cosine_optimal_transport(x, y)
+        assert sorted(np.asarray(col)) == list(range(n))
+
+    def test_pairing_under_jit_reduces_cost(self):
+        import jax
+        import jax.numpy as jnp
+
+        from moviigen_tpu.training.ot import cosine_cost, ot_pair_noise
+
+        rng = np.random.default_rng(3)
+        lat = jnp.asarray(rng.standard_normal((6, 4, 2, 4, 4)), jnp.float32)
+        noise = jnp.asarray(rng.standard_normal(lat.shape), jnp.float32)
+        paired = jax.jit(ot_pair_noise)(lat, noise)
+        c = np.asarray(cosine_cost(lat, noise))
+        base = np.trace(c)
+        got = np.trace(np.asarray(cosine_cost(lat, paired)))
+        assert got <= base + 1e-6
+        # marginal preserved: same rows, reordered
+        assert np.allclose(np.sort(np.asarray(noise).reshape(6, -1), axis=0),
+                           np.sort(np.asarray(paired).reshape(6, -1), axis=0))
+
+    def test_finetune_cli_compute_ot(self, tiny_dataset, tmp_path):
+        from moviigen_tpu.cli.finetune import main
+
+        out = tmp_path / "out_ot"
+        main([
+            "--task", "t2v-tiny",
+            "--data_json_path", tiny_dataset,
+            "--num_latent_t", "2",
+            "--output_dir", str(out),
+            "--train_batch_size", "2",
+            "--max_train_steps", "2",
+            "--checkpointing_steps", "100",
+            "--compute_ot",
+        ])
+        from moviigen_tpu.training.checkpoint import latest_checkpoint
+
+        assert latest_checkpoint(str(out))[1] == 2
