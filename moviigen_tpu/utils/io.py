@@ -60,6 +60,22 @@ def cache_video(tensor, save_file: Optional[str] = None, fps: int = 30,
             return cache_file
         except Exception as e:  # no ffmpeg backend, bad container, ...
             error = e
+    # OpenCV ships its own ffmpeg: try mp4v before giving up on .mp4
+    if suffix == ".mp4" or cache_file.endswith(".mp4"):
+        try:
+            import cv2
+
+            h, w = frames.shape[1:3]
+            writer = cv2.VideoWriter(
+                cache_file, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+            if writer.isOpened():
+                for frame in frames:
+                    writer.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+                writer.release()
+                return cache_file
+            writer.release()
+        except Exception as e:
+            error = e
     # fallbacks for environments without an mp4 encoder
     for alt_suffix, saver in ((".gif", "gif"), (".npz", "npz")):
         alt = osp.splitext(cache_file)[0] + alt_suffix
