@@ -55,11 +55,6 @@ def main(argv=None):
     big = hbm_gb is not None and hbm_gb > 40
     task = "t2v-14B" if big else "t2v-1.3B"
     cfg = WAN_CONFIGS[task].model
-    if args.ffn_chunk:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk)
-
     # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent
     # (F',H',W') = (21, 104, 60) → 32,760 tokens (formula ref
     # wan/text2video.py:160-166)
@@ -67,6 +62,17 @@ def main(argv=None):
     fp = (args.frame_num - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
     tokens = grid[0] * grid[1] * grid[2]
+
+    # FFN token-chunking rule (same as pipelines/text2video.py): bound
+    # the [2, L, ffn] transient to ~2 GB — what lets 131k-token 1080p run
+    # on one 16 GB chip
+    ffn_chunk = args.ffn_chunk
+    if ffn_chunk is None and 4 * tokens * cfg.ffn_dim > (1 << 31):
+        ffn_chunk = 16384
+    if ffn_chunk:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, ffn_chunk=ffn_chunk)
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
     params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
@@ -87,16 +93,24 @@ def main(argv=None):
 
     # chained iterations inside one jit + scalar readback: robust against
     # async-dispatch timing artifacts (block_until_ready is unreliable
-    # through the remote-TPU relay)
-    n_iter = 3
+    # through the remote-TPU relay). At long sequences (≥40k tokens) the
+    # loop-carry double buffering pushes a memory-marginal step over the
+    # HBM edge and the per-dispatch overhead (~40 ms) is noise against a
+    # tens-of-seconds step — time a single bare step instead.
+    n_iter = 3 if tokens < 40_000 else 1
 
-    @jax.jit
-    def chain(params, x, t, ctx):
-        def body(i, acc):
-            return denoise_step(params, acc, t, ctx) * jnp.float32(0.999)
+    if n_iter == 1:
+        @jax.jit
+        def chain(params, x, t, ctx):
+            return jnp.sum(denoise_step(params, x, t, ctx))
+    else:
+        @jax.jit
+        def chain(params, x, t, ctx):
+            def body(i, acc):
+                return denoise_step(params, acc, t, ctx) * jnp.float32(0.999)
 
-        out = jax.lax.fori_loop(0, n_iter, body, x)
-        return jnp.sum(out)
+            out = jax.lax.fori_loop(0, n_iter, body, x)
+            return jnp.sum(out)
 
     trivial = jax.jit(lambda v: jnp.sum(v))
     float(trivial(t))
