@@ -42,6 +42,13 @@ def main(argv=None):
     ap.add_argument("--ffn_chunk", type=int, default=None,
                     help="stream tokens through the FFN in chunks "
                          "(needed for 131k-token 1080p on 16 GB)")
+    ap.add_argument("--task", default=None,
+                    help="override the HBM-based config auto-select "
+                         "(e.g. t2v-14B with --quant int4 on 16 GB)")
+    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
+                    help="weight-only quantized params; int4 fits the "
+                         "14B flagship on one 16 GB chip (24.2 s/step "
+                         "measured at the default workload)")
     args = ap.parse_args(argv)
 
     dev = jax.devices()[0]
@@ -53,7 +60,8 @@ def main(argv=None):
     except Exception:
         pass
     big = hbm_gb is not None and hbm_gb > 40
-    task = "t2v-14B" if big else "t2v-1.3B"
+    task = args.task or ("t2v-14B" if big or args.quant == "int4"
+                         else "t2v-1.3B")
     cfg = WAN_CONFIGS[task].model
     # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent
     # (F',H',W') = (21, 104, 60) → 32,760 tokens (formula ref
@@ -75,8 +83,14 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, ffn_chunk=ffn_chunk)
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
-    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
-                                   dtype=jnp.bfloat16)
+    if args.quant:
+        from moviigen_tpu.ops.quantization import device_init_quantized_wan
+
+        params = device_init_quantized_wan(
+            0, cfg, bits=4 if args.quant == "int4" else 8)
+    else:
+        params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.bfloat16)
     rope = rope_3d_freqs(grid, cfg.head_dim)
 
     def denoise_step(params, x, t, ctx):
@@ -97,7 +111,7 @@ def main(argv=None):
     # loop-carry double buffering pushes a memory-marginal step over the
     # HBM edge and the per-dispatch overhead (~40 ms) is noise against a
     # tens-of-seconds step — time a single bare step instead.
-    n_iter = 3 if tokens < 40_000 else 1
+    n_iter = 3 if tokens < 40_000 and task != "t2v-14B" else 1
 
     if n_iter == 1:
         @jax.jit
@@ -140,8 +154,9 @@ def main(argv=None):
     a100_sec = total_flops / (312e12 * 0.60)
     vs_baseline = a100_sec / sec_per_step  # >1 == faster than A100 roofline
 
+    qtag = f"_{args.quant}" if args.quant else ""
     print(json.dumps({
-        "metric": (f"sec_per_cfg_denoise_step_{task}_"
+        "metric": (f"sec_per_cfg_denoise_step_{task}{qtag}_"
                    f"{w}x{h}_{args.frame_num}f"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",

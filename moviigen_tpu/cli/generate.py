@@ -106,6 +106,10 @@ def _parse_args(argv=None):
     parser.add_argument("--sample_guide_scale", type=float, default=5.0)
     parser.add_argument("--offload_model", type=str2bool, default=None,
                         help="compatibility flag (no-op on TPU)")
+    parser.add_argument("--quant", type=str, default=None,
+                        choices=["int8", "int4"],
+                        help="weight-only DiT quantization; int4 fits "
+                             "the 14B flagship on one 16 GB chip")
     return parser.parse_args(argv)
 
 
@@ -176,7 +180,7 @@ def generate(args) -> str:
         image = np.asarray(im, np.float32).transpose(2, 0, 1) \
             / 127.5 - 1.0
         pipe = WanI2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
-                      sp_mode=sp_mode)
+                      sp_mode=sp_mode, quant=args.quant)
         video = pipe.generate(
             args.prompt,
             image,
@@ -190,7 +194,7 @@ def generate(args) -> str:
         )
     else:
         pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
-                      sp_mode=sp_mode)
+                      sp_mode=sp_mode, quant=args.quant)
         video = pipe.generate(
             args.prompt,
             size=SIZE_CONFIGS[args.size],

@@ -22,27 +22,36 @@ from ..configs import WanModelConfig
 Params = Dict[str, Any]
 
 
-def _lin(sd, name, dtype, transpose=True) -> Dict[str, Any]:
+def _lin(sd, name, dtype, transpose=True, xp=jnp) -> Dict[str, Any]:
     w = np.asarray(sd[f"{name}.weight"])
-    p = {"kernel": jnp.asarray(w.T if transpose else w, dtype)}
+    p = {"kernel": xp.asarray(w.T if transpose else w, dtype)}
     if f"{name}.bias" in sd:
-        p["bias"] = jnp.asarray(np.asarray(sd[f"{name}.bias"]), dtype)
+        p["bias"] = xp.asarray(np.asarray(sd[f"{name}.bias"]), dtype)
     else:
-        p["bias"] = jnp.zeros((p["kernel"].shape[-1],), dtype)
+        p["bias"] = xp.zeros((p["kernel"].shape[-1],), dtype)
     return p
 
 
 def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
-                           dtype=jnp.bfloat16) -> Params:
+                           dtype=jnp.bfloat16,
+                           as_numpy: bool = False) -> Params:
+    """``as_numpy=True`` builds the tree host-side (numpy arrays; bf16
+    via ml_dtypes) — required when the full-precision tree exceeds device
+    HBM and is only a staging step (e.g. quantization of the 28 GB 14B
+    tree before upload to a 16 GB chip)."""
     n = cfg.num_layers
+    xp = np if as_numpy else jnp
+
+    def _lin_xp(sd_, name, dt, transpose=True):
+        return _lin(sd_, name, dt, transpose, xp=xp)
 
     def stack_lin(fmt, dt=dtype):
         ws, bs = [], []
         for i in range(n):
-            p = _lin(sd, fmt.format(i), dt)
+            p = _lin(sd, fmt.format(i), dt, xp=xp)
             ws.append(p["kernel"])
             bs.append(p["bias"])
-        return {"kernel": jnp.stack(ws), "bias": jnp.stack(bs)}
+        return {"kernel": xp.stack(ws), "bias": xp.stack(bs)}
 
     def stack_vec(fmt, dt=jnp.float32, reshape=None):
         vs = []
@@ -50,8 +59,8 @@ def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
             v = np.asarray(sd[fmt.format(i)])
             if reshape is not None:
                 v = v.reshape(reshape)
-            vs.append(jnp.asarray(v, dt))
-        return jnp.stack(vs)
+            vs.append(xp.asarray(v, dt))
+        return xp.stack(vs)
 
     def attn(prefix, img=False):
         p = {
@@ -93,27 +102,27 @@ def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
 
     params: Params = {
         "patch_embedding": {
-            "kernel": jnp.asarray(pe_kernel, dtype),
-            "bias": jnp.asarray(np.asarray(sd["patch_embedding.bias"]),
+            "kernel": xp.asarray(pe_kernel, dtype),
+            "bias": xp.asarray(np.asarray(sd["patch_embedding.bias"]),
                                 dtype),
         },
         "text_embedding": {
-            "fc1": _lin(sd, "text_embedding.0", dtype),
-            "fc2": _lin(sd, "text_embedding.2", dtype),
+            "fc1": _lin_xp(sd, "text_embedding.0", dtype),
+            "fc2": _lin_xp(sd, "text_embedding.2", dtype),
         },
         # fp32 islands keep fp32 master copies (ref runs these under
         # fp32 autocast, model.py:541-545)
         "time_embedding": {
-            "fc1": _lin(sd, "time_embedding.0", jnp.float32),
-            "fc2": _lin(sd, "time_embedding.2", jnp.float32),
+            "fc1": _lin_xp(sd, "time_embedding.0", jnp.float32),
+            "fc2": _lin_xp(sd, "time_embedding.2", jnp.float32),
         },
         "time_projection": {
-            "fc": _lin(sd, "time_projection.1", jnp.float32),
+            "fc": _lin_xp(sd, "time_projection.1", jnp.float32),
         },
         "blocks": blocks,
         "head": {
-            "head": _lin(sd, "head.head", jnp.float32),
-            "modulation": jnp.asarray(
+            "head": _lin_xp(sd, "head.head", jnp.float32),
+            "modulation": xp.asarray(
                 np.asarray(sd["head.modulation"]).reshape(2, cfg.dim),
                 jnp.float32),
         },
@@ -121,17 +130,17 @@ def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
     if cfg.model_type == "i2v":
         params["img_emb"] = {
             "norm1": {
-                "scale": jnp.asarray(
+                "scale": xp.asarray(
                     np.asarray(sd["img_emb.proj.0.weight"]), jnp.float32),
-                "bias": jnp.asarray(
+                "bias": xp.asarray(
                     np.asarray(sd["img_emb.proj.0.bias"]), jnp.float32),
             },
-            "fc1": _lin(sd, "img_emb.proj.1", dtype),
-            "fc2": _lin(sd, "img_emb.proj.3", dtype),
+            "fc1": _lin_xp(sd, "img_emb.proj.1", dtype),
+            "fc2": _lin_xp(sd, "img_emb.proj.3", dtype),
             "norm2": {
-                "scale": jnp.asarray(
+                "scale": xp.asarray(
                     np.asarray(sd["img_emb.proj.4.weight"]), jnp.float32),
-                "bias": jnp.asarray(
+                "bias": xp.asarray(
                     np.asarray(sd["img_emb.proj.4.bias"]), jnp.float32),
             },
         }
@@ -139,7 +148,8 @@ def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
 
 
 def load_wan_checkpoint(ckpt_dir: str, cfg: WanModelConfig,
-                        dtype=jnp.bfloat16) -> Params:
+                        dtype=jnp.bfloat16,
+                        as_numpy: bool = False) -> Params:
     """Load diffusers-layout safetensors shards from ``ckpt_dir``
     (``diffusion_pytorch_model*.safetensors``) → pytree.
 
@@ -161,4 +171,4 @@ def load_wan_checkpoint(ckpt_dir: str, cfg: WanModelConfig,
         with safe_open(os.path.join(ckpt_dir, fname), framework="pt") as f:
             for k in f.keys():
                 sd[k] = f.get_tensor(k).float().numpy()
-    return convert_wan_state_dict(sd, cfg, dtype)
+    return convert_wan_state_dict(sd, cfg, dtype, as_numpy)

@@ -164,11 +164,14 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     matmuls to bf16 passes, which would silently break the reference's
     fp32 islands (time embed / head).
 
-    Int8 weight-only leaves ({'q8', 'scale'}; ops/quantization.py)
-    dequantize just-in-time: one bf16 [in, out] transient per layer."""
-    if "q8" in p:
+    Int8/int4 weight-only leaves ({'q8'|'q4', 'scale'};
+    ops/quantization.py) dequantize just-in-time: one bf16 [in, out]
+    transient per layer."""
+    if "q8" in p or "q4" in p:
+        from moviigen_tpu.ops.quantization import dequantize_leaf
+
         cd = dtype or jnp.bfloat16
-        k = p["q8"].astype(cd) * p["scale"].astype(cd)[..., None, :]
+        k = dequantize_leaf(p, cd)
         out = jnp.matmul(x.astype(cd), k)
         if "bias" in p:
             out = out + p["bias"].astype(cd)
@@ -192,11 +195,14 @@ def _dense_multi(ps, x: jnp.ndarray, dtype=None):
     concatenated matmul and split, which is the same arithmetic per
     output column. Handles the int8 weight-only form like ``_dense``."""
     def kern(p, cd):
-        if "q8" in p:
-            return p["q8"].astype(cd) * p["scale"].astype(cd)[..., None, :]
+        if "q8" in p or "q4" in p:
+            from moviigen_tpu.ops.quantization import dequantize_leaf
+
+            return dequantize_leaf(p, cd)
         return p["kernel"].astype(cd) if dtype is not None else p["kernel"]
 
-    cd = dtype or (jnp.bfloat16 if any("q8" in p for p in ps)
+    cd = dtype or (jnp.bfloat16
+                   if any("q8" in p or "q4" in p for p in ps)
                    else ps[0]["kernel"].dtype)
     ks = [kern(p, cd) for p in ps]
     sizes = [k.shape[-1] for k in ks]

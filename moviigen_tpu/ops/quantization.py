@@ -1,13 +1,28 @@
-"""Int8 weight-only quantization for the DiT linears.
+"""Int8 / int4 weight-only quantization for the DiT linears.
 
 Purpose: the 14B flagship needs 28 GB in bf16 — beyond a single 16 GB
-chip. Per-output-channel int8 weights (absmax/127 scales) bring the
-block weights to ~13 GB; kernels dequantize per layer inside the scan
-(one [in, out] bf16 transient at a time). Embeddings, norms, modulation
-and the head stay in their original dtypes (small, numerics-critical).
+chip. Two levels:
 
-Quantized leaf format (recognized by ``wan_model._dense``):
-    {"q8": int8 [..., in, out], "scale": f32 [..., out], "bias": ...}
+- **int8** (per-output-channel absmax/127 scales): block weights
+  ~14 GB — fits big-HBM parts, but on a 16 GB v5e leaves no activation
+  headroom at 81-frame workloads.
+- **int4** (grouped symmetric, default group=128 input channels, two
+  nibbles packed per byte): block weights ~7.5 GB incl. scales — the
+  14B flagship *runs whole on one 16 GB chip*, a workload the reference
+  spreads over multiple GPUs with FSDP.
+
+Kernels dequantize just-in-time per layer inside the block scan (one
+[in, out] bf16 transient at a time). Embeddings, norms, modulation and
+the head stay in their original dtypes (small, numerics-critical).
+
+Quantized leaf formats (recognized by ``wan_model._dense`` via
+``dequantize_leaf``):
+    {"q8": int8 [..., in, out],        "scale": f32 [..., out],        "bias": ...}
+    {"q4": uint8 [..., in//2, out],    "scale": f32 [..., in//g, out], "bias": ...}
+
+int4 packing: input rows (2k, 2k+1) share byte k — low nibble = row 2k,
+high nibble = row 2k+1; nibble values are q+8 with q ∈ [-7, 7]
+(symmetric; the -8 code is unused by the quantizer).
 """
 
 from __future__ import annotations
@@ -38,28 +53,170 @@ def quantize_linear(kernel, use_numpy: bool = True):
     return q, scale.squeeze(-2).astype(np.float32)
 
 
+def quantize_linear_int4(kernel, group: int = 128):
+    """[..., in, out] float → (packed uint8 [..., in//2, out],
+    fp32 scale [..., in//group, out]).
+
+    Symmetric grouped absmax: q = clip(round(w/scale), -7, 7) with
+    scale = absmax(group)/7; stored biased (q+8) two-per-byte. Groups
+    run along the *input* dim (the matmul contraction), so dequant is a
+    reshape-multiply that XLA fuses ahead of the GEMM. Falls back to a
+    single group when ``in % group != 0`` (tiny test configs)."""
+    k = np.asarray(kernel, np.float32)
+    *lead, cin, cout = k.shape
+    if cin % 2:
+        raise ValueError(f"int4 packing needs even input dim, got {cin}")
+    g = group if cin % group == 0 else cin
+    kg = k.reshape(*lead, cin // g, g, cout)
+    absmax = np.max(np.abs(kg), axis=-2, keepdims=True)
+    scale = absmax / 7.0
+    scale = np.where(scale == 0, 1.0, scale)
+    q = np.clip(np.round(kg / scale), -7, 7).astype(np.int8)
+    q = q.reshape(*lead, cin, cout)
+    biased = (q + 8).astype(np.uint8)
+    packed = biased[..., 0::2, :] | (biased[..., 1::2, :] << 4)
+    return packed, scale.squeeze(-2).astype(np.float32)
+
+
+def dequantize_leaf(p: Dict[str, Any], dtype):
+    """Device-side just-in-time dequant of a quantized linear leaf →
+    [..., in, out] ``dtype`` kernel. Understands both 'q8' and 'q4'."""
+    if "q8" in p:
+        return p["q8"].astype(dtype) * p["scale"].astype(dtype)[..., None, :]
+    packed = p["q4"]
+    lo = (packed & np.uint8(0xF)).astype(jnp.int8) - 8
+    hi = (packed >> np.uint8(4)).astype(jnp.int8) - 8
+    q = jnp.stack([lo, hi], axis=-2)           # [..., in//2, 2, out]
+    *lead, half, _, cout = q.shape
+    cin = half * 2
+    scale = p["scale"]
+    ng = scale.shape[-2]
+    kq = q.reshape(*lead, ng, cin // ng, cout).astype(dtype)
+    k = kq * scale.astype(dtype)[..., :, None, :]
+    return k.reshape(*lead, cin, cout)
+
+
 def quantize_wan_params(params: Dict[str, Any],
-                        use_numpy: bool = True) -> Dict[str, Any]:
+                        use_numpy: bool = True,
+                        bits: int = 8,
+                        group: int = 128) -> Dict[str, Any]:
     """Quantize the block linears of a WanModel param tree (host-side by
     default so a 28 GB bf16 tree never needs device residence)."""
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
 
     def rebuild(tree, path=()):
         if isinstance(tree, dict):
             if "kernel" in tree and "/".join(path).endswith(
                     _TARGET_SUFFIXES):
-                q, s = quantize_linear(tree["kernel"], use_numpy)
-                out = {"q8": q, "scale": s}
+                if bits == 8:
+                    q, s = quantize_linear(tree["kernel"], use_numpy)
+                    out = {"q8": q, "scale": s}
+                else:
+                    q, s = quantize_linear_int4(tree["kernel"], group)
+                    out = {"q4": q, "scale": s}
                 if "bias" in tree:
                     out["bias"] = tree["bias"]
                 return out
             return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
         return tree
 
-    def path_endswith(joined, suffixes):
-        return any(joined.endswith(sfx) for sfx in suffixes)
-
-    # str.endswith accepts a tuple — used above directly
     return rebuild(params)
+
+
+def device_init_quantized_wan(seed: int, cfg, bits: int = 8,
+                              group: int = 128) -> Dict[str, Any]:
+    """Random int8-quantized params materialized directly in device HBM.
+
+    ``host_init_quantized_wan`` builds the ~13 GB 14B tree with numpy
+    (minutes of single-thread RNG) and then pays a full host→device
+    upload — through the remote-TPU relay that alone can take minutes.
+    Here every leaf is generated on device by JAX PRNG (int8 leaves via
+    ``jax.random.randint``), so a 14B tree exists only in HBM and init
+    takes seconds. Tree layout is identical to ``host_init_quantized_wan``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed)
+    counter = [0]
+
+    def nextkey():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    d, fd, L = cfg.dim, cfg.ffn_dim, cfg.num_layers
+
+    def q8(shape_in_out):
+        cin, cout = shape_in_out
+        if bits == 4:
+            g = group if cin % group == 0 else cin
+            return {
+                # nibble codes 1..15 ≡ q ∈ [-7, 7] (matches the packer)
+                "q4": jax.random.randint(
+                    nextkey(), (L, cin // 2, cout), 0x11, 0x100,
+                    dtype=jnp.uint8),
+                "scale": jnp.full((L, cin // g, cout),
+                                  0.34 / np.sqrt(cin), jnp.float32),
+                "bias": jnp.zeros((L, cout), jnp.bfloat16),
+            }
+        return {
+            "q8": jax.random.randint(nextkey(), (L, *shape_in_out),
+                                     -127, 128, dtype=jnp.int8),
+            "scale": jnp.full((L, shape_in_out[-1]),
+                              0.02 / np.sqrt(shape_in_out[0]),
+                              jnp.float32),
+            "bias": jnp.zeros((L, shape_in_out[-1]), jnp.bfloat16),
+        }
+
+    def attn(img=False):
+        p = {"q": q8((d, d)), "k": q8((d, d)), "v": q8((d, d)),
+             "o": q8((d, d)),
+             "norm_q": {"scale": jnp.ones((L, d), jnp.float32)},
+             "norm_k": {"scale": jnp.ones((L, d), jnp.float32)}}
+        if img:
+            p["k_img"] = q8((d, d))
+            p["v_img"] = q8((d, d))
+            p["norm_k_img"] = {"scale": jnp.ones((L, d), jnp.float32)}
+        return p
+
+    import math
+
+    patch_in = cfg.in_dim * int(np.prod(cfg.patch_size))
+
+    def lin(cin, cout, dtype=jnp.bfloat16, std=0.02):
+        return {
+            "kernel": (jax.random.normal(nextkey(), (cin, cout),
+                                         jnp.float32) * std).astype(dtype),
+            "bias": jnp.zeros((cout,), dtype),
+        }
+
+    blocks = {
+        "self_attn": attn(),
+        "cross_attn": attn(img=cfg.model_type == "i2v"),
+        "ffn": {"fc1": q8((d, fd)), "fc2": q8((fd, d))},
+        "modulation": (jax.random.normal(nextkey(), (L, 6, d),
+                                         jnp.float32) / math.sqrt(d)),
+    }
+    if cfg.cross_attn_norm:
+        blocks["norm3"] = {"scale": jnp.ones((L, d), jnp.float32),
+                           "bias": jnp.zeros((L, d), jnp.float32)}
+    return {
+        "patch_embedding": lin(patch_in, d),
+        "text_embedding": {"fc1": lin(cfg.text_dim, d),
+                           "fc2": lin(d, d)},
+        "time_embedding": {
+            "fc1": lin(cfg.freq_dim, d, jnp.float32),
+            "fc2": lin(d, d, jnp.float32)},
+        "time_projection": {"fc": lin(d, 6 * d, jnp.float32)},
+        "blocks": blocks,
+        "head": {
+            "head": lin(d, int(np.prod(cfg.patch_size)) * cfg.out_dim,
+                        jnp.float32),
+            "modulation": (jax.random.normal(nextkey(), (2, d),
+                                             jnp.float32) / math.sqrt(d)),
+        },
+    }
 
 
 def host_init_quantized_wan(seed: int, cfg) -> Dict[str, Any]:

@@ -81,7 +81,11 @@ class WanT2V:
                  mesh=None,
                  sp_size: Optional[int] = None,
                  sp_mode: str = "ulysses",
-                 offload_t5: str = "auto"):
+                 offload_t5: str = "auto",
+                 quant: Optional[str] = None):
+        if quant not in (None, "int8", "int4"):
+            raise ValueError(f"quant must be int8|int4, got {quant!r}")
+        self.quant = quant
         self.config = config
         self.attn_backend = attn_backend
         self.mesh = mesh
@@ -119,8 +123,23 @@ class WanT2V:
             self.vae_params = load_vae_checkpoint(
                 os.path.join(checkpoint_dir, config.vae_checkpoint),
                 config.vae, dtype=jnp.float32)
-            self.dit_params = load_wan_checkpoint(
-                checkpoint_dir, config.model, dtype=dtype)
+            if quant is not None:
+                # stage the full-precision tree host-side (28 GB for the
+                # 14B — never device-resident), quantize, then upload the
+                # compact tree (int4: ~8 GB → the flagship fits one v5e)
+                from ..ops.quantization import quantize_wan_params
+
+                host_tree = load_wan_checkpoint(
+                    checkpoint_dir, config.model, dtype=dtype,
+                    as_numpy=True)
+                qtree = quantize_wan_params(
+                    host_tree, bits=4 if quant == "int4" else 8)
+                del host_tree
+                self.dit_params = jax.tree_util.tree_map(
+                    jnp.asarray, qtree)
+            else:
+                self.dit_params = load_wan_checkpoint(
+                    checkpoint_dir, config.model, dtype=dtype)
             tok_path = os.path.join(checkpoint_dir, config.t5_tokenizer)
         else:
             logging.warning("no checkpoint_dir: random-init params "
@@ -133,8 +152,15 @@ class WanT2V:
                 self.t5_params = t5m.init_params(
                     keys[0], config.t5, dtype=jnp.dtype(config.t5_dtype))
             self.vae_params = vaem.init_params(keys[1], config.vae)
-            self.dit_params = wan_model.init_params(
-                keys[2], config.model, dtype=dtype)
+            if quant is not None:
+                from ..ops.quantization import device_init_quantized_wan
+
+                self.dit_params = device_init_quantized_wan(
+                    init_seed, config.model,
+                    bits=4 if quant == "int4" else 8)
+            else:
+                self.dit_params = wan_model.init_params(
+                    keys[2], config.model, dtype=dtype)
             tok_path = config.t5_tokenizer
 
         self.tokenizer = load_tokenizer(

@@ -216,3 +216,20 @@ def test_ffn_chunking_invariance():
                             compute_dtype=jnp.float32, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_convert_as_numpy_matches_device(ref_and_params):
+    """Host-side (as_numpy) conversion builds the identical tree — the
+    staging path that lets the 28 GB 14B tree be quantized before any
+    device residence."""
+    model, params = ref_and_params
+    sd = {k: v.detach().float().numpy()
+          for k, v in model.state_dict().items()}
+    host = convert_wan_state_dict(sd, CFG, dtype=jnp.float32,
+                                  as_numpy=True)
+    flat_d, tree_d = jax.tree_util.tree_flatten(params)
+    flat_h, tree_h = jax.tree_util.tree_flatten(host)
+    assert tree_d == tree_h
+    for a, b in zip(flat_d, flat_h):
+        assert isinstance(b, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(a), b)

@@ -99,3 +99,18 @@ def test_seq_len_shape_oracles():
     _, seq_len, _ = compute_target_shape_and_seq_len(
         cfg, SIZE_CONFIGS["1280*720"], 81, sp_size=32)
     assert seq_len == 75616 and seq_len % 32 == 0
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_generate_quantized(quant):
+    """Weight-only quantized DiT drives the full pipeline end-to-end
+    (the int4 path is what fits the 14B flagship on one 16 GB chip)."""
+    qpipe = WanT2V(config=WAN_CONFIGS["t2v-tiny"], checkpoint_dir=None,
+                   quant=quant)
+    leaf = qpipe.dit_params["blocks"]["self_attn"]["q"]
+    assert ("q4" if quant == "int4" else "q8") in leaf
+    video = qpipe.generate(
+        "a cat boxing on a stage", size=(64, 64), frame_num=5,
+        sampling_steps=2, guide_scale=5.0, seed=42)
+    assert video.shape == (3, 5, 64, 64)
+    assert np.all(np.isfinite(video))

@@ -59,3 +59,66 @@ def test_host_init_quantized_runs():
                             attn_backend="xla")
     assert out.shape == (1, CFG.out_dim, 3, 8, 8)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestInt4:
+    def test_pack_unpack_exact(self):
+        """dequantize_leaf inverts the packer exactly (scale-multiplied)."""
+        from moviigen_tpu.ops.quantization import (dequantize_leaf,
+                                                   quantize_linear_int4)
+        rng = np.random.default_rng(0)
+        w = rng.standard_normal((2, 256, 48)).astype(np.float32) * 0.05
+        q, s = quantize_linear_int4(w, group=128)
+        assert q.shape == (2, 128, 48) and q.dtype == np.uint8
+        assert s.shape == (2, 2, 48)
+        k = np.asarray(dequantize_leaf(
+            {"q4": jnp.asarray(q), "scale": jnp.asarray(s)}, jnp.float32))
+        # reconstruct on host: codes → q → scale per group
+        lo = (q & 0xF).astype(np.int8) - 8
+        hi = (q >> 4).astype(np.int8) - 8
+        full = np.empty((2, 256, 48), np.int8)
+        full[:, 0::2], full[:, 1::2] = lo, hi
+        ref = full.astype(np.float32) * np.repeat(s, 128, axis=1)
+        np.testing.assert_array_equal(k, ref)
+        # quantization error bounded by scale/2 per element
+        assert np.all(np.abs(k - w) <= np.repeat(s, 128, axis=1) * 0.5 + 1e-8)
+
+    def test_int4_forward_close_to_full(self):
+        from moviigen_tpu.ops.quantization import quantize_wan_params
+        params = wan_model.init_params(jax.random.PRNGKey(0), CFG,
+                                       dtype=jnp.float32)
+        qparams = quantize_wan_params(
+            jax.tree_util.tree_map(np.asarray, params), bits=4)
+        assert "q4" in qparams["blocks"]["self_attn"]["q"]
+        assert "kernel" in qparams["patch_embedding"]
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, CFG.in_dim, 3, 8, 8)),
+                        jnp.float32)
+        ctx = jnp.asarray(
+            rng.standard_normal((1, CFG.text_len, CFG.text_dim)),
+            jnp.float32)
+        rope = rope_3d_freqs((3, 4, 4), CFG.head_dim)
+        full = wan_model.forward(params, x, jnp.asarray([500.0]), ctx, CFG,
+                                 rope, compute_dtype=jnp.float32,
+                                 attn_backend="xla")
+        quant = wan_model.forward(qparams, x, jnp.asarray([500.0]), ctx,
+                                  CFG, rope, compute_dtype=jnp.float32,
+                                  attn_backend="xla")
+        err = np.abs(np.asarray(full) - np.asarray(quant))
+        rel = err.max() / max(np.abs(np.asarray(full)).max(), 1e-6)
+        assert rel < 0.35, f"int4 quantization error too large: {rel}"
+
+    def test_device_init_int4_runs(self):
+        from moviigen_tpu.ops.quantization import device_init_quantized_wan
+        qparams = device_init_quantized_wan(0, CFG, bits=4)
+        # tiny cfg: dim=96 → q4 packed [L, 48, 96]
+        assert qparams["blocks"]["self_attn"]["q"]["q4"].shape == (
+            CFG.num_layers, CFG.dim // 2, CFG.dim)
+        x = jnp.zeros((1, CFG.in_dim, 3, 8, 8))
+        ctx = jnp.zeros((1, CFG.text_len, CFG.text_dim))
+        rope = rope_3d_freqs((3, 4, 4), CFG.head_dim)
+        out = wan_model.forward(qparams, x, jnp.asarray([100.0]), ctx, CFG,
+                                rope, attn_backend="xla")
+        assert out.shape == (1, CFG.out_dim, 3, 8, 8)
+        assert np.all(np.isfinite(np.asarray(out)))
