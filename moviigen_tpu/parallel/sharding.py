@@ -43,10 +43,19 @@ def dit_param_specs(params: Dict[str, Any], axis: str = "seq"
                     ) -> Dict[str, Any]:
     """PartitionSpec tree for WanModel params (stacked-layer layout)."""
 
+    quant_mats = ("q", "k", "v", "o", "k_img", "v_img", "fc1", "fc2")
+
     def spec(path, leaf):
         joined = "/".join(path)
         nd = leaf.ndim
         if "blocks" in path:
+            # quantized linears (ops/quantization.py leaves): shard the
+            # output (last) dim of codes and scales — FSDP gathers then
+            # move int8/packed-int4 bytes, 4-8x cheaper than bf16
+            if joined.endswith(("/q8", "/q4")) or (
+                    path[-1] == "scale"
+                    and len(path) >= 2 and path[-2] in quant_mats):
+                return P(*([None] * (nd - 1)), axis)
             # leading axis = layers: never shard (scan carries it)
             if joined.endswith("ffn/fc1/kernel"):
                 return P(None, None, axis)       # [L, D, F]

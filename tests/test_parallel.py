@@ -261,3 +261,42 @@ def test_pod_mesh_hybrid_branch_shapes(monkeypatch):
     assert calls["mesh_shape"] == (1, 2, 2)
     assert calls["dcn_shape"] == (2, 1, 1)
     assert dict(m.shape) == {"data": 2, "ring": 2, "seq": 2}
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_params_shard_and_fsdp(setup, bits):
+    """Quantized (int8/int4) trees shard at rest over the mesh and
+    FSDP-gather just-in-time inside SP — gathers move packed bytes.
+    Must equal the same quantized tree on one device."""
+    from moviigen_tpu.ops.quantization import quantize_wan_params
+
+    params, x, t, ctx, rope, _ = setup
+    qparams = quantize_wan_params(
+        jax.tree_util.tree_map(np.asarray, params), bits=bits)
+    qparams = jax.tree_util.tree_map(jnp.asarray, qparams)
+    qref = wan_model.forward(params=qparams, x=x, t=t, context=ctx,
+                             cfg=CFG, rope=rope,
+                             compute_dtype=jnp.float32,
+                             attn_backend="xla")
+
+    mesh = make_mesh(data=2, seq=2)
+    specs = dit_param_specs(qparams, axis="seq")
+    tag = "q4" if bits == 4 else "q8"
+    assert specs["blocks"]["self_attn"]["q"][tag][-1] == "seq"
+    assert specs["blocks"]["ffn"]["fc1"]["scale"][-1] == "seq"
+    sharded = shard_params(mesh, qparams, specs)
+
+    # GSPMD: jit with sharded params, replicated activations
+    with mesh:
+        out = jax.jit(lambda p, x: wan_model.forward(
+            p, x, t, ctx, CFG, rope, compute_dtype=jnp.float32,
+            attn_backend="xla"))(sharded, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(qref),
+                               atol=2e-5, rtol=1e-4)
+
+    # SP + FSDP JIT gathers
+    out = sequence_parallel_forward(
+        sharded, x, t, ctx, CFG, rope, mesh,
+        fsdp_params=True, compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(qref),
+                               atol=2e-5, rtol=1e-4)
