@@ -56,15 +56,38 @@ def relative_position_buckets(lq: int, lk: int, num_buckets: int = 32,
     return rel_buckets.astype(np.int32)
 
 
+def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w where w is a raw kernel or an int8/int4 weight-only leaf
+    ({'q8'|'q4', 'scale'}; ops/quantization.py) dequantized
+    just-in-time — lets the umT5-XXL encoder stay device-resident next
+    to the int4 DiT on a 16 GB chip instead of host-offloaded."""
+    if isinstance(w, dict):
+        from moviigen_tpu.ops.quantization import dequantize_leaf
+
+        return jnp.matmul(x, dequantize_leaf(w, x.dtype))
+    return jnp.matmul(x, w)
+
+
+def _embed(emb, ids: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Vocab lookup in ``dtype`` (the tree's activation dtype);
+    understands an int8 per-row quantized table ({'q8': int8 [V, d],
+    'scale': f32 [V]} — saves ~1 GB for umT5-XXL's 256k × 4096 table)."""
+    if isinstance(emb, dict):
+        return (jnp.take(emb["q8"], ids, axis=0).astype(dtype)
+                * jnp.take(emb["scale"], ids, axis=0)[..., None]
+                .astype(dtype))
+    return jnp.take(emb, ids, axis=0).astype(dtype)
+
+
 def _attn(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
           pos_bias: jnp.ndarray, cfg: T5Config) -> jnp.ndarray:
     """T5Attention (ref t5.py:69-120): einsum attention with additive
     position bias, no QK scaling, fp32 softmax."""
     b, l, _ = x.shape
     n, dh = cfg.num_heads, cfg.head_dim
-    q = jnp.matmul(x, p["q"]).reshape(b, l, n, dh)
-    k = jnp.matmul(x, p["k"]).reshape(b, l, n, dh)
-    v = jnp.matmul(x, p["v"]).reshape(b, l, n, dh)
+    q = _mm(x, p["q"]).reshape(b, l, n, dh)
+    k = _mm(x, p["k"]).reshape(b, l, n, dh)
+    v = _mm(x, p["v"]).reshape(b, l, n, dh)
 
     logits = jnp.einsum("binc,bjnc->bnij", q, k,
                         preferred_element_type=jnp.float32)
@@ -74,14 +97,14 @@ def _attn(p: Params, x: jnp.ndarray, mask: Optional[jnp.ndarray],
         logits = jnp.where(keymask, logits, jnp.float32(-3.4e38))
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     out = jnp.einsum("bnij,bjnc->binc", probs, v)
-    return jnp.matmul(out.reshape(b, l, n * dh), p["o"])
+    return _mm(out.reshape(b, l, n * dh), p["o"])
 
 
 def _ffn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     """GEGLU feed-forward: fc1(x)·gelu_tanh(gate(x)) (ref t5.py:123-141)."""
-    gate = jax.nn.gelu(jnp.matmul(x, p["gate"]), approximate=True)
-    h = jnp.matmul(x, p["fc1"]) * gate
-    return jnp.matmul(h, p["fc2"])
+    gate = jax.nn.gelu(_mm(x, p["gate"]), approximate=True)
+    h = _mm(x, p["fc1"]) * gate
+    return _mm(h, p["fc2"])
 
 
 def encode(params: Params, ids: jnp.ndarray, mask: Optional[jnp.ndarray],
@@ -93,7 +116,8 @@ def encode(params: Params, ids: jnp.ndarray, mask: Optional[jnp.ndarray],
         lq, lk, cfg.num_buckets, bidirectional=True))  # [L, L]
 
     ids = jnp.clip(ids, 0, cfg.vocab_size - 1)
-    x = jnp.take(params["token_embedding"], ids, axis=0)
+    x = _embed(params["token_embedding"], ids,
+               params["norm"]["weight"].dtype)
 
     def body(carry, bp):
         x = carry
@@ -134,7 +158,8 @@ def decode(params: Params, ids: jnp.ndarray,
         attn_mask3 = attn_mask3[None]
 
     ids = jnp.clip(ids, 0, cfg.vocab_size - 1)
-    x = jnp.take(params["token_embedding"], ids, axis=0)
+    x = _embed(params["token_embedding"], ids,
+               params["norm"]["weight"].dtype)
 
     def body(carry, bp):
         x = carry

@@ -124,6 +124,107 @@ def quantize_wan_params(params: Dict[str, Any],
     return rebuild(params)
 
 
+_T5_TARGETS = ("attn/q", "attn/k", "attn/v", "attn/o",
+               "ffn/gate", "ffn/fc1", "ffn/fc2")
+
+
+def quantize_t5_params(params: Dict[str, Any], bits: int = 4,
+                       group: int = 128,
+                       quantize_embedding: bool = True) -> Dict[str, Any]:
+    """Weight-only quantize a T5 param tree (models/t5.py layout: block
+    linears are raw [L, in, out] arrays, not {'kernel': ...} dicts).
+
+    umT5-XXL at int4 drops from 11.6 GB bf16 to ~3.4 GB (2.3 GB block
+    codes + 1.05 GB int8 per-row vocab table + scales) — small enough to
+    stay device-resident next to the int4 14B DiT on one 16 GB chip,
+    replacing the host-offload path's minutes-long CPU encode. Norms and
+    per-layer rel-pos embeddings stay full precision."""
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+
+    def rebuild(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, path + (k,)) for k, v in tree.items()}
+        joined = "/".join(path)
+        if path and path[0] == "blocks" and joined.endswith(_T5_TARGETS):
+            w = np.asarray(tree, np.float32)
+            if bits == 8:
+                q, s = quantize_linear(w)
+                return {"q8": q, "scale": s}
+            q, s = quantize_linear_int4(w, group)
+            return {"q4": q, "scale": s}
+        if joined == "token_embedding" and quantize_embedding:
+            w = np.asarray(tree, np.float32)          # [V, d]
+            absmax = np.max(np.abs(w), axis=-1)       # per-row
+            scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+            q = np.clip(np.round(w / scale[:, None]), -127,
+                        127).astype(np.int8)
+            return {"q8": q, "scale": scale.astype(np.float32)}
+        return tree
+
+    return rebuild(params)
+
+
+def device_init_quantized_t5(seed: int, cfg, bits: int = 4,
+                             group: int = 128) -> Dict[str, Any]:
+    """Random quantized T5 encoder params materialized directly in HBM
+    (models/t5.py layout) — the smoke-test analog of
+    ``device_init_quantized_wan``: umT5-XXL host init + quantize costs
+    >10 min of numpy; this takes seconds."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(seed ^ 0x7E5)
+    counter = [0]
+
+    def nextkey():
+        counter[0] += 1
+        return jax.random.fold_in(key, counter[0])
+
+    L, d, da, df = cfg.num_layers, cfg.dim, cfg.dim_attn, cfg.dim_ffn
+
+    def qlin(cin, cout):
+        if bits == 4:
+            g = group if cin % group == 0 else cin
+            return {
+                "q4": jax.lax.bitcast_convert_type(
+                    jax.random.bits(nextkey(), (L, cin // 2, cout),
+                                    dtype=jnp.uint8), jnp.uint8),
+                "scale": jnp.full((L, cin // g, cout),
+                                  0.34 / np.sqrt(cin), jnp.float32),
+            }
+        return {
+            "q8": jax.lax.bitcast_convert_type(
+                jax.random.bits(nextkey(), (L, cin, cout),
+                                dtype=jnp.uint8), jnp.int8),
+            "scale": jnp.full((L, cout), 0.02 / np.sqrt(cin),
+                              jnp.float32),
+        }
+
+    return {
+        "token_embedding": {
+            "q8": jax.lax.bitcast_convert_type(
+                jax.random.bits(nextkey(), (cfg.vocab_size, d),
+                                dtype=jnp.uint8), jnp.int8),
+            "scale": jnp.full((cfg.vocab_size,), 1.0 / 127.0,
+                              jnp.float32),
+        },
+        "blocks": {
+            "norm1": {"weight": jnp.ones((L, d), jnp.bfloat16)},
+            "attn": {"q": qlin(d, da), "k": qlin(d, da),
+                     "v": qlin(d, da), "o": qlin(da, d)},
+            "norm2": {"weight": jnp.ones((L, d), jnp.bfloat16)},
+            "ffn": {"gate": qlin(d, df), "fc1": qlin(d, df),
+                    "fc2": qlin(df, d)},
+            "pos_embedding": jax.random.normal(
+                nextkey(), (L, cfg.num_buckets, cfg.num_heads),
+                jnp.float32) * (2 * cfg.num_buckets
+                                * cfg.num_heads) ** -0.5,
+        },
+        "norm": {"weight": jnp.ones((d,), jnp.bfloat16)},
+    }
+
+
 def device_init_quantized_wan(seed: int, cfg, bits: int = 8,
                               group: int = 128) -> Dict[str, Any]:
     """Random int8-quantized params materialized directly in device HBM.
@@ -147,22 +248,27 @@ def device_init_quantized_wan(seed: int, cfg, bits: int = 8,
 
     d, fd, L = cfg.dim, cfg.ffn_dim, cfg.num_layers
 
+    def rand_bytes(shape, dtype):
+        # jax.random.bits at uint8 — randint would materialize 32-bit
+        # random bits (4x the leaf, a ~5.7 GB transient for the 14B FFN
+        # leaf) and OOM next to an already-resident encoder
+        return jax.lax.bitcast_convert_type(
+            jax.random.bits(nextkey(), shape, dtype=jnp.uint8), dtype)
+
     def q8(shape_in_out):
         cin, cout = shape_in_out
         if bits == 4:
             g = group if cin % group == 0 else cin
             return {
-                # nibble codes 1..15 ≡ q ∈ [-7, 7] (matches the packer)
-                "q4": jax.random.randint(
-                    nextkey(), (L, cin // 2, cout), 0x11, 0x100,
-                    dtype=jnp.uint8),
+                # random bytes: nibble 0 decodes to -8 (outside the
+                # packer's [-7,7] range) — harmless for random init
+                "q4": rand_bytes((L, cin // 2, cout), jnp.uint8),
                 "scale": jnp.full((L, cin // g, cout),
                                   0.34 / np.sqrt(cin), jnp.float32),
                 "bias": jnp.zeros((L, cout), jnp.bfloat16),
             }
         return {
-            "q8": jax.random.randint(nextkey(), (L, *shape_in_out),
-                                     -127, 128, dtype=jnp.int8),
+            "q8": rand_bytes((L, *shape_in_out), jnp.int8),
             "scale": jnp.full((L, shape_in_out[-1]),
                               0.02 / np.sqrt(shape_in_out[0]),
                               jnp.float32),

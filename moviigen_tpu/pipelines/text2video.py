@@ -71,6 +71,22 @@ def compute_target_shape_and_seq_len(config: PipelineConfig,
     return target_shape, seq_len, grid
 
 
+# T5 trees above this size either host-offload (unquantized) or
+# weight-only quantize to stay device-resident (quant modes); tests
+# lower it to exercise both paths on the tiny config.
+_T5_OFFLOAD_BYTES = 4 << 30
+
+
+def _drain(tree):
+    """Force every enqueued op on the tree to finish via a scalar
+    readback (the TPU stream is in-order; ``block_until_ready`` can
+    return early through the remote relay — CLAUDE.md). Keeps init
+    transients of one param tree from overlapping the next tree's
+    allocations, which OOMs near the HBM limit."""
+    leaf = jax.tree_util.tree_leaves(tree)[-1]
+    float(jnp.sum(leaf.ravel()[:1]))
+
+
 class WanT2V:
     """Owns DiT + T5 + VAE params and orchestrates generation."""
 
@@ -107,8 +123,14 @@ class WanT2V:
             3 * tc.dim * tc.dim_attn + tc.dim_attn * tc.dim
             + 3 * tc.dim * tc.dim_ffn))
         if offload_t5 == "auto":
-            offload_t5 = mesh is None and t5_bytes > 4 << 30
+            # with weight-only quantization the encoder shrinks ~3.4x
+            # (int4: umT5-XXL 11.6 GB → ~3.4 GB) and stays device-
+            # resident next to the quantized DiT — no host encode
+            offload_t5 = (mesh is None and quant is None
+                          and t5_bytes > _T5_OFFLOAD_BYTES)
         self._offload_t5 = bool(offload_t5)
+        self._quant_t5 = quant is not None and not self._offload_t5 \
+            and t5_bytes > _T5_OFFLOAD_BYTES
 
         if checkpoint_dir is not None:
             from ..models.t5 import load_t5_checkpoint
@@ -119,7 +141,14 @@ class WanT2V:
             self.t5_params = load_t5_checkpoint(
                 os.path.join(checkpoint_dir, config.t5_checkpoint),
                 config.t5, dtype=jnp.dtype(config.t5_dtype),
-                as_numpy=self._offload_t5)
+                as_numpy=self._offload_t5 or self._quant_t5)
+            if self._quant_t5:
+                from ..ops.quantization import quantize_t5_params
+
+                self.t5_params = jax.tree_util.tree_map(
+                    jnp.asarray, quantize_t5_params(
+                        self.t5_params,
+                        bits=4 if quant == "int4" else 8))
             self.vae_params = load_vae_checkpoint(
                 os.path.join(checkpoint_dir, config.vae_checkpoint),
                 config.vae, dtype=jnp.float32)
@@ -148,6 +177,16 @@ class WanT2V:
             if self._offload_t5:
                 self.t5_params = t5m.host_init_params(
                     init_seed, config.t5, dtype=config.t5_dtype)
+            elif self._quant_t5:
+                from ..ops.quantization import device_init_quantized_t5
+
+                self.t5_params = device_init_quantized_t5(
+                    init_seed, config.t5,
+                    bits=4 if quant == "int4" else 8)
+                # retire init transients before the next tree's
+                # allocation burst (async dispatch interleaves them;
+                # near the HBM limit the overlap OOMs)
+                _drain(self.t5_params)
             else:
                 self.t5_params = t5m.init_params(
                     keys[0], config.t5, dtype=jnp.dtype(config.t5_dtype))
@@ -155,9 +194,11 @@ class WanT2V:
             if quant is not None:
                 from ..ops.quantization import device_init_quantized_wan
 
+                _drain(self.vae_params)
                 self.dit_params = device_init_quantized_wan(
                     init_seed, config.model,
                     bits=4 if quant == "int4" else 8)
+                _drain(self.dit_params)
             else:
                 self.dit_params = wan_model.init_params(
                     keys[2], config.model, dtype=dtype)
@@ -312,6 +353,8 @@ class WanT2V:
         if seed < 0:
             seed = int.from_bytes(os.urandom(4), "little")
 
+        logging.info("encoding prompt (text_len=%d)",
+                     self.config.model.text_len)
         ctx_pair = self.encode_text([input_prompt, n_prompt])
 
         if noise is None:
@@ -337,10 +380,15 @@ class WanT2V:
                 f"Unsupported solver: {sample_solver}")
 
         if scan_loop:
+            logging.info(
+                "denoising: %d %s steps at %d tokens (one compiled "
+                "lax.scan program; first call compiles)",
+                sampling_steps, sample_solver, seq_len)
             sched_key = (sample_solver, sampling_steps, float(shift))
             run = self._scan_denoise_fn(grid, seq_len, float(guide_scale),
                                         sched_key, scheduler)
             latent = run(self.dit_params, latent, ctx_pair)
+            latent.block_until_ready()
         else:
             step_fn = self._denoise_fn(grid, seq_len, float(guide_scale))
             state = scheduler.init_state(latent)
@@ -354,5 +402,6 @@ class WanT2V:
         if return_latents:
             return np.asarray(latent[0])
 
+        logging.info("VAE decode %s -> video", tuple(latent.shape))
         video = self._vae_decode(self.vae_params, latent)
         return np.asarray(video[0], np.float32)

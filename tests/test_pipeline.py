@@ -114,3 +114,22 @@ def test_generate_quantized(quant):
         sampling_steps=2, guide_scale=5.0, seed=42)
     assert video.shape == (3, 5, 64, 64)
     assert np.all(np.isfinite(video))
+
+
+def test_generate_quantized_t5_resident(monkeypatch):
+    """Under quant, a big T5 is weight-only quantized and device-resident
+    (replacing host offload) — threshold lowered to hit the path on the
+    tiny config."""
+    from moviigen_tpu.pipelines import text2video as t2v_mod
+
+    monkeypatch.setattr(t2v_mod, "_T5_OFFLOAD_BYTES", 0)
+    qpipe = WanT2V(config=WAN_CONFIGS["t2v-tiny"], checkpoint_dir=None,
+                   quant="int4")
+    assert qpipe._quant_t5 and not qpipe._offload_t5
+    assert "q4" in qpipe.t5_params["blocks"]["attn"]["q"]
+    assert "q8" in qpipe.t5_params["token_embedding"]
+    video = qpipe.generate(
+        "a cat boxing on a stage", size=(64, 64), frame_num=5,
+        sampling_steps=2, guide_scale=5.0, seed=42)
+    assert video.shape == (3, 5, 64, 64)
+    assert np.all(np.isfinite(video))

@@ -1,6 +1,7 @@
 """Int8 weight-only quantization tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -122,3 +123,37 @@ class TestInt4:
                                 rope, attn_backend="xla")
         assert out.shape == (1, CFG.out_dim, 3, 8, 8)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestT5Quant:
+    @pytest.mark.parametrize("bits", [8, 4])
+    def test_t5_quantized_encode_close(self, bits):
+        """Quantized umT5 encoder (weight-only blocks + int8 per-row
+        vocab table) stays close to the full-precision encode — the
+        device-resident alternative to host offload on 16 GB chips."""
+        import jax
+        from moviigen_tpu.configs import WAN_CONFIGS
+        from moviigen_tpu.models import t5 as t5m
+        from moviigen_tpu.ops.quantization import quantize_t5_params
+
+        cfg = WAN_CONFIGS["t2v-tiny"].t5
+        params = t5m.init_params(jax.random.PRNGKey(0), cfg,
+                                 dtype=jnp.float32)
+        qparams = jax.tree_util.tree_map(
+            jnp.asarray, quantize_t5_params(
+                jax.tree_util.tree_map(np.asarray, params), bits=bits))
+        tag = "q4" if bits == 4 else "q8"
+        assert tag in qparams["blocks"]["attn"]["q"]
+        assert "q8" in qparams["token_embedding"]
+
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)))
+        mask = jnp.asarray((np.arange(16)[None, :]
+                            < np.array([[16], [9]])).astype(np.int32))
+        full = t5m.encode(params, ids, mask, cfg)
+        quant = t5m.encode(qparams, ids, mask, cfg)
+        err = np.abs(np.asarray(full) - np.asarray(quant))
+        rel = err.max() / max(np.abs(np.asarray(full)).max(), 1e-6)
+        assert rel < (0.15 if bits == 8 else 0.5), rel
+        # int8 embedding alone is ~0.4% error; check the scale survived
+        assert np.all(np.isfinite(np.asarray(quant)))
