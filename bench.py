@@ -11,6 +11,12 @@ weight-only quantization (8.3 GB params, ~137 TF/s effective — the
 regime the reference needs multi-GPU FSDP for). --task t2v-1.3B
 benches the small config in bf16 (BASELINE.json config #1).
 
+Resilience: the remote-TPU worker can end up in a degraded state
+(leaked HBM from crashed clients accumulates until the worker
+recovers), so the default run bounds each attempt with an alarm and
+falls back from the 14B-int4 flagship to the 1.3B bf16 operating point
+rather than hanging or crashing without a metric.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is per-chip step throughput vs the A100 PyTorch reference —
 no published number exists (BASELINE.md), so we report the ratio against
@@ -19,15 +25,14 @@ MFU ≈ upper bound of the reference stack).
 """
 
 import json
+import signal
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
 
-def main(argv=None):
-    import argparse
-
+def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -36,51 +41,19 @@ def main(argv=None):
     from moviigen_tpu.models import wan_model
     from moviigen_tpu.ops.rope import rope_3d_freqs
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="480*832",
-                    help="WxH preset: 480*832 (default, the headline), "
-                         "1280*720, 1920*832")
-    ap.add_argument("--frame_num", type=int, default=81)
-    ap.add_argument("--ffn_chunk", type=int, default=None,
-                    help="stream tokens through the FFN in chunks "
-                         "(needed for 131k-token 1080p on 16 GB)")
-    ap.add_argument("--task", default=None,
-                    help="override the HBM-based config auto-select "
-                         "(e.g. t2v-14B with --quant int4 on 16 GB)")
-    ap.add_argument("--quant", default=None, choices=["int8", "int4"],
-                    help="weight-only quantized params; int4 fits the "
-                         "14B flagship on one 16 GB chip (24.2 s/step "
-                         "measured at the default workload)")
-    args = ap.parse_args(argv)
-
-    dev = jax.devices()[0]
-    hbm_gb = None
-    try:
-        stats = dev.memory_stats()
-        if stats:
-            hbm_gb = stats.get("bytes_limit", 0) / 1e9
-    except Exception:
-        pass
-    # The flagship 14B is the headline everywhere: bf16 on big-HBM
-    # parts, int4 weight-only (8.3 GB, same ~137 TF/s effective) on a
-    # 16 GB v5e. --task t2v-1.3B benches the small config in bf16.
-    big = hbm_gb is not None and hbm_gb > 40
-    task = args.task or "t2v-14B"
-    if task == "t2v-14B" and not big and args.quant is None:
-        args.quant = "int4"
     cfg = WAN_CONFIGS[task].model
     # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent
     # (F',H',W') = (21, 104, 60) → 32,760 tokens (formula ref
     # wan/text2video.py:160-166)
-    w, h = (int(v) for v in args.size.split("*"))
-    fp = (args.frame_num - 1) // 4 + 1
+    w, h = (int(v) for v in size.split("*"))
+    fp = (frame_num - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
     tokens = grid[0] * grid[1] * grid[2]
 
     # FFN token-chunking rule (same as pipelines/text2video.py): bound
     # the [2, L, ffn] transient to ~2 GB — what lets 131k-token 1080p run
     # on one 16 GB chip
-    ffn_chunk = args.ffn_chunk
+    ffn_chunk = ffn_chunk_arg
     if ffn_chunk is None and 4 * tokens * cfg.ffn_dim > (1 << 31):
         ffn_chunk = 16384
     if ffn_chunk:
@@ -89,11 +62,12 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, ffn_chunk=ffn_chunk)
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
-    if args.quant:
+    if quant:
         from moviigen_tpu.ops.quantization import device_init_quantized_wan
 
         params = device_init_quantized_wan(
-            0, cfg, bits=4 if args.quant == "int4" else 8)
+            0, cfg, bits=4 if quant == "int4" else 8,
+            act8=quant == "w8a8")
     else:
         params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
                                        dtype=jnp.bfloat16)
@@ -160,14 +134,90 @@ def main(argv=None):
     a100_sec = total_flops / (312e12 * 0.60)
     vs_baseline = a100_sec / sec_per_step  # >1 == faster than A100 roofline
 
-    qtag = f"_{args.quant}" if args.quant else ""
-    print(json.dumps({
+    qtag = f"_{quant}" if quant else ""
+    return {
         "metric": (f"sec_per_cfg_denoise_step_{task}{qtag}_"
-                   f"{w}x{h}_{args.frame_num}f"),
+                   f"{w}x{h}_{frame_num}f"),
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(vs_baseline, 3),
-    }))
+    }
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="480*832",
+                    help="WxH preset: 480*832 (default, the headline), "
+                         "1280*720, 1920*832")
+    ap.add_argument("--frame_num", type=int, default=81)
+    ap.add_argument("--ffn_chunk", type=int, default=None,
+                    help="stream tokens through the FFN in chunks "
+                         "(needed for 131k-token 1080p on 16 GB)")
+    ap.add_argument("--task", default=None,
+                    help="override the HBM-based config auto-select "
+                         "(e.g. t2v-14B with --quant int4 on 16 GB)")
+    ap.add_argument("--quant", default=None,
+                    choices=["int8", "int4", "w8a8"],
+                    help="weight-only quantized params; int4 fits the "
+                         "14B flagship on one 16 GB chip (24.2 s/step "
+                         "measured at the default workload)")
+    ap.add_argument("--attempt_timeout", type=int, default=900,
+                    help="seconds before an attempt is abandoned and "
+                         "the fallback config runs")
+    args = ap.parse_args(argv)
+
+    dev = jax.devices()[0]
+    hbm_gb = None
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            hbm_gb = stats.get("bytes_limit", 0) / 1e9
+    except Exception:
+        pass
+    # The flagship 14B is the headline everywhere: bf16 on big-HBM
+    # parts, int4 weight-only (8.3 GB, same ~137 TF/s effective) on a
+    # 16 GB v5e. --task t2v-1.3B benches the small config in bf16.
+    big = hbm_gb is not None and hbm_gb > 40
+    explicit = args.task is not None or args.quant is not None
+    task = args.task or ("t2v-1.3B" if args.quant == "w8a8" and not big
+                         else "t2v-14B")
+    quant = args.quant
+    if task == "t2v-14B" and not big and quant is None:
+        quant = "int4"
+
+    attempts = [(task, quant)]
+    if not explicit and task == "t2v-14B":
+        attempts.append(("t2v-1.3B", None))
+
+    def _alarm(signum, frame):
+        raise TimeoutError("bench attempt timed out")
+
+    last_err = None
+    for t, q in attempts:
+        try:
+            signal.signal(signal.SIGALRM, _alarm)
+            signal.alarm(args.attempt_timeout)
+            result = run_once(t, q, args.size, args.frame_num,
+                              args.ffn_chunk)
+            signal.alarm(0)
+            print(json.dumps(result))
+            return
+        except Exception as e:  # noqa: BLE001 — fall back, keep the metric
+            signal.alarm(0)
+            # keep only the message: the traceback would pin run_once's
+            # frame (and its multi-GB param trees) through the fallback
+            last_err = f"{type(e).__name__}: {e}"
+            print(f"bench attempt ({t}, {q}) failed: {last_err}",
+                  file=sys.stderr)
+            import gc
+
+            gc.collect()
+            time.sleep(30)  # let the device retire/free the failed run
+    raise SystemExit(f"all bench attempts failed: {last_err}")
 
 
 if __name__ == "__main__":

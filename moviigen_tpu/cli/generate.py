@@ -107,7 +107,7 @@ def _parse_args(argv=None):
     parser.add_argument("--offload_model", type=str2bool, default=None,
                         help="compatibility flag (no-op on TPU)")
     parser.add_argument("--quant", type=str, default=None,
-                        choices=["int8", "int4"],
+                        choices=["int8", "int4", "w8a8"],
                         help="weight-only DiT quantization; int4 fits "
                              "the 14B flagship on one 16 GB chip")
     return parser.parse_args(argv)

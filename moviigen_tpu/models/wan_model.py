@@ -166,11 +166,23 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
 
     Int8/int4 weight-only leaves ({'q8'|'q4', 'scale'};
     ops/quantization.py) dequantize just-in-time: one bf16 [in, out]
-    transient per layer."""
+    transient per layer. Leaves marked 'a8' (W8A8) instead quantize the
+    activations per-token and run the matmul int8×int8→int32 on the
+    MXU's double-rate int8 path."""
     if "q8" in p or "q4" in p:
-        from moviigen_tpu.ops.quantization import dequantize_leaf
+        from moviigen_tpu.ops.quantization import (dequantize_leaf,
+                                                   int8_matmul,
+                                                   quantize_activations)
 
         cd = dtype or jnp.bfloat16
+        if "a8" in p and p["q8"].ndim == 2:
+            xq, sx = quantize_activations(x)
+            acc = int8_matmul(xq, p["q8"])
+            out = (acc.astype(jnp.float32) * sx
+                   * p["scale"]).astype(cd)
+            if "bias" in p:
+                out = out + p["bias"].astype(cd)
+            return out
         k = dequantize_leaf(p, cd)
         out = jnp.matmul(x.astype(cd), k)
         if "bias" in p:
@@ -204,6 +216,25 @@ def _dense_multi(ps, x: jnp.ndarray, dtype=None):
     cd = dtype or (jnp.bfloat16
                    if any("q8" in p or "q4" in p for p in ps)
                    else ps[0]["kernel"].dtype)
+
+    if all("a8" in p and p.get("q8") is not None and p["q8"].ndim == 2
+           for p in ps):
+        # W8A8 wide GEMM: quantize the shared input once, one
+        # int8×int8→int32 matmul over the concatenated kernels
+        from moviigen_tpu.ops.quantization import (int8_matmul,
+                                                   quantize_activations)
+
+        xq, sx = quantize_activations(x)
+        kcat = jnp.concatenate([p["q8"] for p in ps], axis=-1)
+        scat = jnp.concatenate([p["scale"] for p in ps], axis=-1)
+        bcat = jnp.concatenate([p["bias"].astype(jnp.float32)
+                                for p in ps], axis=-1)
+        out = (int8_matmul(xq, kcat).astype(jnp.float32) * sx * scat
+               + bcat).astype(cd)
+        sizes = [p["q8"].shape[-1] for p in ps]
+        splits = np.cumsum(sizes)[:-1].tolist()
+        return jnp.split(out, splits, axis=-1)
+
     ks = [kern(p, cd) for p in ps]
     sizes = [k.shape[-1] for k in ks]
     kcat = jnp.concatenate(ks, axis=-1)

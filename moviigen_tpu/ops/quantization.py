@@ -78,6 +78,27 @@ def quantize_linear_int4(kernel, group: int = 128):
     return packed, scale.squeeze(-2).astype(np.float32)
 
 
+def quantize_activations(x):
+    """Per-token dynamic symmetric int8: (xq int8, sx fp32 [..., 1]).
+
+    The W8A8 runtime half: absmax over the feature (contraction) dim of
+    each token, so ``x ≈ xq · sx`` and the weight's per-out-channel
+    scale commutes with the int32 accumulation."""
+    ax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    sx = jnp.maximum(ax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                  -127, 127).astype(jnp.int8)
+    return xq, sx
+
+
+def int8_matmul(xq: jnp.ndarray, wq: jnp.ndarray) -> jnp.ndarray:
+    """int8 [..., K] × int8 [K, N] → int32 [..., N] (MXU int8 path:
+    2× bf16 peak on v5e)."""
+    return jax.lax.dot_general(
+        xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
 def dequantize_leaf(p: Dict[str, Any], dtype):
     """Device-side just-in-time dequant of a quantized linear leaf →
     [..., in, out] ``dtype`` kernel. Understands both 'q8' and 'q4'."""
@@ -99,11 +120,21 @@ def dequantize_leaf(p: Dict[str, Any], dtype):
 def quantize_wan_params(params: Dict[str, Any],
                         use_numpy: bool = True,
                         bits: int = 8,
-                        group: int = 128) -> Dict[str, Any]:
+                        group: int = 128,
+                        act8: bool = False) -> Dict[str, Any]:
     """Quantize the block linears of a WanModel param tree (host-side by
-    default so a 28 GB bf16 tree never needs device residence)."""
+    default so a 28 GB bf16 tree never needs device residence).
+
+    ``act8=True`` (W8A8, requires ``bits=8``) marks each quantized leaf
+    so the model's dense ops ALSO quantize activations per-token at
+    runtime and run int8×int8→int32 matmuls — the v5e MXU's int8 path
+    has 2× the bf16 peak. Per-output-channel weight scales factor out of
+    the contraction, which is why this needs int8 (int4's per-group
+    scales along the contraction dim do not)."""
     if bits not in (8, 4):
         raise ValueError(f"bits must be 8 or 4, got {bits}")
+    if act8 and bits != 8:
+        raise ValueError("act8 (W8A8) requires bits=8")
 
     def rebuild(tree, path=()):
         if isinstance(tree, dict):
@@ -112,6 +143,11 @@ def quantize_wan_params(params: Dict[str, Any],
                 if bits == 8:
                     q, s = quantize_linear(tree["kernel"], use_numpy)
                     out = {"q8": q, "scale": s}
+                    if act8:
+                        # leading layer axis so lax.scan can slice it
+                        out["a8"] = np.ones(
+                            (np.asarray(tree["kernel"]).shape[0],),
+                            np.int8)
                 else:
                     q, s = quantize_linear_int4(tree["kernel"], group)
                     out = {"q4": q, "scale": s}
@@ -226,7 +262,8 @@ def device_init_quantized_t5(seed: int, cfg, bits: int = 4,
 
 
 def device_init_quantized_wan(seed: int, cfg, bits: int = 8,
-                              group: int = 128) -> Dict[str, Any]:
+                              group: int = 128,
+                              act8: bool = False) -> Dict[str, Any]:
     """Random int8-quantized params materialized directly in device HBM.
 
     ``host_init_quantized_wan`` builds the ~13 GB 14B tree with numpy
@@ -267,13 +304,16 @@ def device_init_quantized_wan(seed: int, cfg, bits: int = 8,
                                   0.34 / np.sqrt(cin), jnp.float32),
                 "bias": jnp.zeros((L, cout), jnp.bfloat16),
             }
-        return {
+        leaf = {
             "q8": rand_bytes((L, *shape_in_out), jnp.int8),
             "scale": jnp.full((L, shape_in_out[-1]),
                               0.02 / np.sqrt(shape_in_out[0]),
                               jnp.float32),
             "bias": jnp.zeros((L, shape_in_out[-1]), jnp.bfloat16),
         }
+        if act8:
+            leaf["a8"] = jnp.ones((L,), jnp.int8)
+        return leaf
 
     def attn(img=False):
         p = {"q": q8((d, d)), "k": q8((d, d)), "v": q8((d, d)),

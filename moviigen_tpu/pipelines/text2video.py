@@ -99,8 +99,9 @@ class WanT2V:
                  sp_mode: str = "ulysses",
                  offload_t5: str = "auto",
                  quant: Optional[str] = None):
-        if quant not in (None, "int8", "int4"):
-            raise ValueError(f"quant must be int8|int4, got {quant!r}")
+        if quant not in (None, "int8", "int4", "w8a8"):
+            raise ValueError(
+                f"quant must be int8|int4|w8a8, got {quant!r}")
         self.quant = quant
         self.config = config
         self.attn_backend = attn_backend
@@ -162,7 +163,8 @@ class WanT2V:
                     checkpoint_dir, config.model, dtype=dtype,
                     as_numpy=True)
                 qtree = quantize_wan_params(
-                    host_tree, bits=4 if quant == "int4" else 8)
+                    host_tree, bits=4 if quant == "int4" else 8,
+                    act8=quant == "w8a8")
                 del host_tree
                 self.dit_params = jax.tree_util.tree_map(
                     jnp.asarray, qtree)
@@ -197,7 +199,8 @@ class WanT2V:
                 _drain(self.vae_params)
                 self.dit_params = device_init_quantized_wan(
                     init_seed, config.model,
-                    bits=4 if quant == "int4" else 8)
+                    bits=4 if quant == "int4" else 8,
+                    act8=quant == "w8a8")
                 _drain(self.dit_params)
             else:
                 self.dit_params = wan_model.init_params(
@@ -275,8 +278,12 @@ class WanT2V:
         if not use_sp and cfg.ffn_chunk is None:
             # single-chip long sequences: bound the [2B, L, ffn] bf16
             # transient to ~2 GB by streaming tokens through the FFN
-            # (enables 131k-token 1080p on one 16 GB chip)
-            if 4 * seq_len * cfg.ffn_dim > (1 << 31):
+            # (enables 131k-token 1080p on one 16 GB chip). Quantized
+            # deployments keep T5 resident too, so chunk from ~1 GB
+            # (measured: chunking costs <0.1% at the 14B operating
+            # point — the GEMMs stay wide)
+            limit = (1 << 30) if self.quant else (1 << 31)
+            if 4 * seq_len * cfg.ffn_dim > limit:
                 import dataclasses as _dc
 
                 cfg = _dc.replace(cfg, ffn_chunk=16384)

@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from moviigen_tpu.configs import WAN_CONFIGS
+from moviigen_tpu.configs import WAN_CONFIGS as WAN_CONFIGS_FULL
 from moviigen_tpu.models import wan_model
 from moviigen_tpu.ops.quantization import (host_init_quantized_wan,
                                            quantize_linear,
@@ -157,3 +158,73 @@ class TestT5Quant:
         assert rel < (0.15 if bits == 8 else 0.5), rel
         # int8 embedding alone is ~0.4% error; check the scale survived
         assert np.all(np.isfinite(np.asarray(quant)))
+
+
+class TestW8A8:
+    def test_int8_matmul_exact(self):
+        """int8×int8→int32 matches the integer reference exactly."""
+        from moviigen_tpu.ops.quantization import int8_matmul
+
+        rng = np.random.default_rng(0)
+        a = rng.integers(-127, 128, (5, 64), dtype=np.int8)
+        b = rng.integers(-127, 128, (64, 32), dtype=np.int8)
+        out = np.asarray(int8_matmul(jnp.asarray(a), jnp.asarray(b)))
+        ref = a.astype(np.int32) @ b.astype(np.int32)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_w8a8_dense_matches_manual(self):
+        """_dense W8A8 path == manual quantize-matmul-rescale."""
+        from moviigen_tpu.ops.quantization import (quantize_activations,
+                                                   quantize_linear)
+
+        rng = np.random.default_rng(1)
+        w = rng.standard_normal((64, 32)).astype(np.float32) * 0.05
+        x = rng.standard_normal((2, 7, 64)).astype(np.float32)
+        q, s = quantize_linear(w)
+        bias = rng.standard_normal(32).astype(np.float32) * 0.01
+        leaf = {"q8": jnp.asarray(q), "scale": jnp.asarray(s),
+                "bias": jnp.asarray(bias),
+                "a8": jnp.ones((), jnp.int8)}
+        out = np.asarray(wan_model._dense(leaf, jnp.asarray(x),
+                                          dtype=jnp.float32))
+        xq, sx = quantize_activations(jnp.asarray(x))
+        ref = (np.asarray(xq).astype(np.int32) @ q.astype(np.int32)
+               ).astype(np.float32) * np.asarray(sx) * s + bias
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+    def test_w8a8_forward_close_to_full(self):
+        from moviigen_tpu.ops.quantization import quantize_wan_params
+
+        params = wan_model.init_params(jax.random.PRNGKey(0), CFG,
+                                       dtype=jnp.float32)
+        qparams = quantize_wan_params(
+            jax.tree_util.tree_map(np.asarray, params), bits=8,
+            act8=True)
+        assert "a8" in qparams["blocks"]["self_attn"]["q"]
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((1, CFG.in_dim, 3, 8, 8)),
+                        jnp.float32)
+        ctx = jnp.asarray(
+            rng.standard_normal((1, CFG.text_len, CFG.text_dim)),
+            jnp.float32)
+        rope = rope_3d_freqs((3, 4, 4), CFG.head_dim)
+        full = wan_model.forward(params, x, jnp.asarray([500.0]), ctx,
+                                 CFG, rope, compute_dtype=jnp.float32,
+                                 attn_backend="xla")
+        quant = wan_model.forward(qparams, x, jnp.asarray([500.0]), ctx,
+                                  CFG, rope, compute_dtype=jnp.float32,
+                                  attn_backend="xla")
+        err = np.abs(np.asarray(full) - np.asarray(quant))
+        rel = err.max() / max(np.abs(np.asarray(full)).max(), 1e-6)
+        assert rel < 0.25, f"W8A8 error too large: {rel}"
+
+    def test_w8a8_pipeline_e2e(self):
+        from moviigen_tpu.pipelines import WanT2V as _WanT2V
+
+        qpipe = _WanT2V(config=WAN_CONFIGS_FULL["t2v-tiny"],
+                        checkpoint_dir=None, quant="w8a8")
+        video = qpipe.generate("hello", size=(64, 64), frame_num=5,
+                               sampling_steps=2, seed=3)
+        assert video.shape == (3, 5, 64, 64)
+        assert np.all(np.isfinite(video))
