@@ -13,9 +13,9 @@ benches the small config in bf16 (BASELINE.json config #1).
 
 Resilience: the remote-TPU worker can end up in a degraded state
 (leaked HBM from crashed clients accumulates until the worker
-recovers), so the default run bounds each attempt with an alarm and
-falls back from the 14B-int4 flagship to the 1.3B bf16 operating point
-rather than hanging or crashing without a metric.
+recovers), so each attempt runs in a killable subprocess with a
+timeout, falling back from the 14B-int4 flagship to the 1.3B bf16
+operating point rather than hanging or crashing without a metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is per-chip step throughput vs the A100 PyTorch reference —
@@ -25,7 +25,6 @@ MFU ≈ upper bound of the reference stack).
 """
 
 import json
-import signal
 import sys
 import time
 
@@ -50,11 +49,14 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     grid = (fp, h // 8 // 2, w // 8 // 2)
     tokens = grid[0] * grid[1] * grid[2]
 
-    # FFN token-chunking rule (same as pipelines/text2video.py): bound
-    # the [2, L, ffn] transient to ~2 GB — what lets 131k-token 1080p run
-    # on one 16 GB chip
+    # FFN token-chunking rule (same as pipelines/text2video.py incl.
+    # the tighter quantized-mode threshold): bound the [2, L, ffn]
+    # transient — what lets 131k-token 1080p run on one 16 GB chip, and
+    # keeps the bench measuring the same FFN configuration the serving
+    # path uses
     ffn_chunk = ffn_chunk_arg
-    if ffn_chunk is None and 4 * tokens * cfg.ffn_dim > (1 << 31):
+    limit = (1 << 30) if quant else (1 << 31)
+    if ffn_chunk is None and 4 * tokens * cfg.ffn_dim > limit:
         ffn_chunk = 16384
     if ffn_chunk:
         import dataclasses
@@ -144,10 +146,17 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     }
 
 
+def _single(argv):
+    """Hidden child mode: run exactly one attempt and print the JSON."""
+    task, quant, size, frame_num, ffn_chunk = argv
+    result = run_once(task, quant or None, size, int(frame_num),
+                      int(ffn_chunk) if ffn_chunk != "None" else None)
+    print(json.dumps(result))
+
+
 def main(argv=None):
     import argparse
-
-    import jax
+    import subprocess
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="480*832",
@@ -166,9 +175,16 @@ def main(argv=None):
                          "14B flagship on one 16 GB chip (24.2 s/step "
                          "measured at the default workload)")
     ap.add_argument("--attempt_timeout", type=int, default=900,
-                    help="seconds before an attempt is abandoned and "
+                    help="seconds before an attempt is killed and "
                          "the fallback config runs")
+    ap.add_argument("--_single", nargs=5, default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
+
+    if args._single is not None:
+        return _single(args._single)
+
+    import jax
 
     dev = jax.devices()[0]
     hbm_gb = None
@@ -180,43 +196,45 @@ def main(argv=None):
         pass
     # The flagship 14B is the headline everywhere: bf16 on big-HBM
     # parts, int4 weight-only (8.3 GB, same ~137 TF/s effective) on a
-    # 16 GB v5e. --task t2v-1.3B benches the small config in bf16.
+    # 16 GB v5e. --task t2v-1.3B benches the small config in bf16;
+    # int8/w8a8 weights for the 14B (14.9 GB) leave no activation room
+    # at 81f on 16 GB, so those modes also default to the 1.3B.
     big = hbm_gb is not None and hbm_gb > 40
-    explicit = args.task is not None or args.quant is not None
-    task = args.task or ("t2v-1.3B" if args.quant == "w8a8" and not big
+    explicit = args.task is not None
+    task = args.task or ("t2v-1.3B"
+                         if args.quant in ("w8a8", "int8") and not big
                          else "t2v-14B")
     quant = args.quant
     if task == "t2v-14B" and not big and quant is None:
         quant = "int4"
 
     attempts = [(task, quant)]
-    if not explicit and task == "t2v-14B":
-        attempts.append(("t2v-1.3B", None))
+    if not explicit and (task, quant) != ("t2v-1.3B", None):
+        attempts.append(("t2v-1.3B", args.quant
+                         if args.quant in ("w8a8", "int8") else None))
 
-    def _alarm(signum, frame):
-        raise TimeoutError("bench attempt timed out")
-
+    # each attempt runs in a subprocess: SIGALRM cannot interrupt a hang
+    # inside a native relay call, but the parent CAN kill the child —
+    # and a dead child's device memory is released for the fallback
     last_err = None
     for t, q in attempts:
+        cmd = [sys.executable, __file__,
+               "--_single", t, q or "", args.size, str(args.frame_num),
+               str(args.ffn_chunk)]
         try:
-            signal.signal(signal.SIGALRM, _alarm)
-            signal.alarm(args.attempt_timeout)
-            result = run_once(t, q, args.size, args.frame_num,
-                              args.ffn_chunk)
-            signal.alarm(0)
-            print(json.dumps(result))
-            return
-        except Exception as e:  # noqa: BLE001 — fall back, keep the metric
-            signal.alarm(0)
-            # keep only the message: the traceback would pin run_once's
-            # frame (and its multi-GB param trees) through the fallback
-            last_err = f"{type(e).__name__}: {e}"
-            print(f"bench attempt ({t}, {q}) failed: {last_err}",
-                  file=sys.stderr)
-            import gc
-
-            gc.collect()
-            time.sleep(30)  # let the device retire/free the failed run
+            proc = subprocess.run(
+                cmd, timeout=args.attempt_timeout,
+                capture_output=True, text=True)
+            if proc.returncode == 0 and proc.stdout.strip():
+                print(proc.stdout.strip().splitlines()[-1])
+                return
+            last_err = (proc.stderr or "").strip().splitlines()[-1:]
+            last_err = last_err[0] if last_err else f"rc={proc.returncode}"
+        except subprocess.TimeoutExpired:
+            last_err = f"timeout after {args.attempt_timeout}s"
+        print(f"bench attempt ({t}, {q}) failed: {last_err}",
+              file=sys.stderr)
+        time.sleep(30)  # let the relay free the dead child's memory
     raise SystemExit(f"all bench attempts failed: {last_err}")
 
 

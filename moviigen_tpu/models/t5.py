@@ -169,25 +169,25 @@ def decode(params: Params, ids: jnp.ndarray,
         # causal self-attention (3D mask)
         logits = jnp.einsum(
             "binc,bjnc->bnij",
-            jnp.matmul(h, bp["attn"]["q"]).reshape(
+            _mm(h, bp["attn"]["q"]).reshape(
                 b, s, cfg.num_heads, cfg.head_dim),
-            jnp.matmul(h, bp["attn"]["k"]).reshape(
+            _mm(h, bp["attn"]["k"]).reshape(
                 b, s, cfg.num_heads, cfg.head_dim),
             preferred_element_type=jnp.float32) + e.astype(jnp.float32)
         logits = jnp.where(attn_mask3[:, None] != 0, logits,
                            jnp.float32(-3.4e38))
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        v = jnp.matmul(h, bp["attn"]["v"]).reshape(
+        v = _mm(h, bp["attn"]["v"]).reshape(
             b, s, cfg.num_heads, cfg.head_dim)
         sa = jnp.einsum("bnij,bjnc->binc", probs, v).reshape(b, s, -1)
-        x = x + jnp.matmul(sa, bp["attn"]["o"])
+        x = x + _mm(sa, bp["attn"]["o"])
         # cross-attention over encoder states (no pos bias)
         h = t5_rms_norm(x, bp["norm2"]["weight"])
-        q = jnp.matmul(h, bp["cross_attn"]["q"]).reshape(
+        q = _mm(h, bp["cross_attn"]["q"]).reshape(
             b, s, cfg.num_heads, cfg.head_dim)
-        k = jnp.matmul(encoder_states, bp["cross_attn"]["k"]).reshape(
+        k = _mm(encoder_states, bp["cross_attn"]["k"]).reshape(
             b, -1, cfg.num_heads, cfg.head_dim)
-        cv = jnp.matmul(encoder_states, bp["cross_attn"]["v"]).reshape(
+        cv = _mm(encoder_states, bp["cross_attn"]["v"]).reshape(
             b, -1, cfg.num_heads, cfg.head_dim)
         logits = jnp.einsum("binc,bjnc->bnij", q, k,
                             preferred_element_type=jnp.float32)
@@ -196,7 +196,7 @@ def decode(params: Params, ids: jnp.ndarray,
             logits = jnp.where(keym, logits, jnp.float32(-3.4e38))
         probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         ca = jnp.einsum("bnij,bjnc->binc", probs, cv).reshape(b, s, -1)
-        x = x + jnp.matmul(ca, bp["cross_attn"]["o"])
+        x = x + _mm(ca, bp["cross_attn"]["o"])
         # ffn
         h = t5_rms_norm(x, bp["norm3"]["weight"])
         x = x + _ffn(bp["ffn"], h)

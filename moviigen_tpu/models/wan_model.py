@@ -184,7 +184,8 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
                 out = out + p["bias"].astype(cd)
             return out
         k = dequantize_leaf(p, cd)
-        out = jnp.matmul(x.astype(cd), k)
+        prec = jax.lax.Precision.HIGHEST if cd == jnp.float32 else None
+        out = jnp.matmul(x.astype(cd), k, precision=prec)
         if "bias" in p:
             out = out + p["bias"].astype(cd)
         return out

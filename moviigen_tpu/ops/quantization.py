@@ -146,8 +146,7 @@ def quantize_wan_params(params: Dict[str, Any],
                     if act8:
                         # leading layer axis so lax.scan can slice it
                         out["a8"] = np.ones(
-                            (np.asarray(tree["kernel"]).shape[0],),
-                            np.int8)
+                            (tree["kernel"].shape[0],), np.int8)
                 else:
                     q, s = quantize_linear_int4(tree["kernel"], group)
                     out = {"q4": q, "scale": s}

@@ -78,12 +78,23 @@ def dit_param_specs(params: Dict[str, Any], axis: str = "seq"
 
 def t5_param_specs(params: Dict[str, Any], axis: str = "seq"
                    ) -> Dict[str, Any]:
+    quant_mats = ("q", "k", "v", "o", "gate", "fc1", "fc2")
+
     def spec(path, leaf):
         joined = "/".join(path)
         nd = leaf.ndim
         if joined == "token_embedding":
             return P(None, None)
+        if path and path[0] == "token_embedding":
+            # int8 per-row quantized vocab table: shard rows
+            return P(axis, *([None] * (nd - 1)))
         if "blocks" in path:
+            # quantized leaves (blocks/attn/q/q4 etc.): shard the output
+            # (last) dim of codes and scales, same rationale as the DiT
+            if joined.endswith(("/q8", "/q4")) or (
+                    path[-1] == "scale"
+                    and len(path) >= 2 and path[-2] in quant_mats):
+                return P(*([None] * (nd - 1)), axis)
             if joined.endswith("attn/q") or joined.endswith("attn/k") \
                     or joined.endswith("attn/v"):
                 return P(None, None, axis)

@@ -133,3 +133,24 @@ def test_generate_quantized_t5_resident(monkeypatch):
         sampling_steps=2, guide_scale=5.0, seed=42)
     assert video.shape == (3, 5, 64, 64)
     assert np.all(np.isfinite(video))
+
+
+def test_generate_quantized_t5_resident_sharded(monkeypatch):
+    """Quantized T5 + DiT trees shard over a mesh (specs cover q4/q8
+    leaf ranks) and the SP pipeline still generates."""
+    import jax
+
+    from moviigen_tpu.parallel.mesh import make_mesh
+    from moviigen_tpu.pipelines import text2video as t2v_mod
+
+    monkeypatch.setattr(t2v_mod, "_T5_OFFLOAD_BYTES", 0)
+    mesh = make_mesh(data=2, seq=2)
+    qpipe = WanT2V(config=WAN_CONFIGS["t2v-tiny"], checkpoint_dir=None,
+                   quant="int4", mesh=mesh)
+    assert qpipe._quant_t5
+    leaf = qpipe.t5_params["blocks"]["attn"]["q"]["q4"]
+    assert "seq" in str(leaf.sharding.spec)
+    video = qpipe.generate("a cat", size=(64, 64), frame_num=5,
+                           sampling_steps=2, seed=11)
+    assert video.shape == (3, 5, 64, 64)
+    assert np.all(np.isfinite(video))

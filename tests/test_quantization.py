@@ -6,7 +6,6 @@ import jax
 import jax.numpy as jnp
 
 from moviigen_tpu.configs import WAN_CONFIGS
-from moviigen_tpu.configs import WAN_CONFIGS as WAN_CONFIGS_FULL
 from moviigen_tpu.models import wan_model
 from moviigen_tpu.ops.quantization import (host_init_quantized_wan,
                                            quantize_linear,
@@ -222,7 +221,7 @@ class TestW8A8:
     def test_w8a8_pipeline_e2e(self):
         from moviigen_tpu.pipelines import WanT2V as _WanT2V
 
-        qpipe = _WanT2V(config=WAN_CONFIGS_FULL["t2v-tiny"],
+        qpipe = _WanT2V(config=WAN_CONFIGS["t2v-tiny"],
                         checkpoint_dir=None, quant="w8a8")
         video = qpipe.generate("hello", size=(64, 64), frame_num=5,
                                sampling_steps=2, seed=3)
