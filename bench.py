@@ -39,6 +39,10 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     from moviigen_tpu.configs import WAN_CONFIGS
     from moviigen_tpu.models import wan_model
     from moviigen_tpu.ops.rope import rope_3d_freqs
+    from moviigen_tpu.utils.profiling import \
+        enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
 
     cfg = WAN_CONFIGS[task].model
     # size is (W, H) like SIZE_CONFIGS; default 480*832 @ 81f → latent

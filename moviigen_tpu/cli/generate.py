@@ -119,7 +119,9 @@ def generate(args) -> str:
     from ..parallel.distributed import maybe_initialize_distributed
     from ..parallel.mesh import make_pod_mesh
     from ..pipelines.text2video import WanT2V
+    from ..utils.profiling import enable_persistent_compilation_cache
 
+    enable_persistent_compilation_cache()
     maybe_initialize_distributed()
 
     logging.basicConfig(

@@ -23,6 +23,23 @@ import jax.numpy as jnp
 
 
 @contextlib.contextmanager
+def enable_persistent_compilation_cache(
+        path: str = "/root/repo/.jax_cache") -> None:
+    """Persist compiled executables across processes.
+
+    The environment's compiles go through a remote compile helper that
+    can be slow or wedged when the TPU worker is degraded; a local
+    on-disk cache makes every previously-compiled program load without
+    touching it. Harmless if the backend can't serialize executables
+    (cache misses fall through to normal compilation)."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # unknown flags on older jax — best-effort
+        pass
+
+
 def trace(logdir: str):
     """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
     jax.profiler.start_trace(logdir)
