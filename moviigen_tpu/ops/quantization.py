@@ -159,6 +159,41 @@ def quantize_wan_params(params: Dict[str, Any],
     return rebuild(params)
 
 
+def save_quantized_checkpoint(path: str, tree: Dict[str, Any]) -> None:
+    """Serialize a quantized param tree to safetensors ('/'-joined
+    keys). Lets serving deployments quantize the full-precision
+    checkpoint ONCE and afterwards load the compact tree directly
+    (int4 14B: ~8 GB read instead of a 28 GB load + minutes of
+    quantization per process start)."""
+    from safetensors.numpy import save_file
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(t, p=()):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                walk(v, p + (k,))
+        else:
+            flat["/".join(p)] = np.asarray(t)
+
+    walk(tree)
+    save_file(flat, path)
+
+
+def load_quantized_checkpoint(path: str) -> Dict[str, Any]:
+    """Inverse of ``save_quantized_checkpoint`` (host numpy tree)."""
+    from safetensors.numpy import load_file
+
+    tree: Dict[str, Any] = {}
+    for key, value in load_file(path).items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
 _T5_TARGETS = ("attn/q", "attn/k", "attn/v", "attn/o",
                "ffn/gate", "ffn/fc1", "ffn/fc2")
 

@@ -139,35 +139,41 @@ class WanT2V:
             from ..models.wan_convert import load_wan_checkpoint
 
             logging.info("loading checkpoints from %s", checkpoint_dir)
-            self.t5_params = load_t5_checkpoint(
-                os.path.join(checkpoint_dir, config.t5_checkpoint),
-                config.t5, dtype=jnp.dtype(config.t5_dtype),
-                as_numpy=self._offload_t5 or self._quant_t5)
             if self._quant_t5:
-                from ..ops.quantization import quantize_t5_params
-
                 self.t5_params = jax.tree_util.tree_map(
-                    jnp.asarray, quantize_t5_params(
-                        self.t5_params,
-                        bits=4 if quant == "int4" else 8))
+                    jnp.asarray, self._quantized_with_cache(
+                        checkpoint_dir, f"t5_{quant}",
+                        lambda: self._quantize_t5_tree(
+                            checkpoint_dir, config, quant)))
+                _drain(self.t5_params)
+            else:
+                self.t5_params = load_t5_checkpoint(
+                    os.path.join(checkpoint_dir, config.t5_checkpoint),
+                    config.t5, dtype=jnp.dtype(config.t5_dtype),
+                    as_numpy=self._offload_t5)
             self.vae_params = load_vae_checkpoint(
                 os.path.join(checkpoint_dir, config.vae_checkpoint),
                 config.vae, dtype=jnp.float32)
             if quant is not None:
                 # stage the full-precision tree host-side (28 GB for the
                 # 14B — never device-resident), quantize, then upload the
-                # compact tree (int4: ~8 GB → the flagship fits one v5e)
-                from ..ops.quantization import quantize_wan_params
+                # compact tree (int4: ~8 GB → the flagship fits one v5e).
+                # The quantized tree is cached as safetensors next to the
+                # checkpoint so later starts skip the staging entirely.
+                def _quantize_dit():
+                    from ..ops.quantization import quantize_wan_params
 
-                host_tree = load_wan_checkpoint(
-                    checkpoint_dir, config.model, dtype=dtype,
-                    as_numpy=True)
-                qtree = quantize_wan_params(
-                    host_tree, bits=4 if quant == "int4" else 8,
-                    act8=quant == "w8a8")
-                del host_tree
+                    host_tree = load_wan_checkpoint(
+                        checkpoint_dir, config.model, dtype=dtype,
+                        as_numpy=True)
+                    return quantize_wan_params(
+                        host_tree, bits=4 if quant == "int4" else 8,
+                        act8=quant == "w8a8")
+
                 self.dit_params = jax.tree_util.tree_map(
-                    jnp.asarray, qtree)
+                    jnp.asarray, self._quantized_with_cache(
+                        checkpoint_dir, f"dit_{quant}", _quantize_dit))
+                _drain(self.dit_params)
             else:
                 self.dit_params = load_wan_checkpoint(
                     checkpoint_dir, config.model, dtype=dtype)
@@ -245,6 +251,36 @@ class WanT2V:
         self._denoise_step_cache = {}
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _quantized_with_cache(checkpoint_dir: str, tag: str, build):
+        """Load a cached quantized tree (safetensors next to the
+        checkpoint) or build + cache it. Cache write failures (read-only
+        checkpoint dirs) degrade to quantize-per-start."""
+        from ..ops.quantization import (load_quantized_checkpoint,
+                                        save_quantized_checkpoint)
+
+        cache = os.path.join(checkpoint_dir,
+                             f"moviigen_quant_{tag}.safetensors")
+        if os.path.exists(cache):
+            logging.info("loading quantized cache %s", cache)
+            return load_quantized_checkpoint(cache)
+        tree = build()
+        try:
+            save_quantized_checkpoint(cache, tree)
+            logging.info("wrote quantized cache %s", cache)
+        except Exception as e:  # noqa: BLE001 — cache is best-effort
+            logging.warning("could not write quantized cache: %s", e)
+        return tree
+
+    def _quantize_t5_tree(self, checkpoint_dir, config, quant):
+        from ..models.t5 import load_t5_checkpoint
+        from ..ops.quantization import quantize_t5_params
+
+        host = load_t5_checkpoint(
+            os.path.join(checkpoint_dir, config.t5_checkpoint),
+            config.t5, dtype=jnp.dtype(config.t5_dtype), as_numpy=True)
+        return quantize_t5_params(host, bits=4 if quant == "int4" else 8)
 
     def encode_text(self, texts) -> jnp.ndarray:
         """Prompt(s) → [B, text_len, t5_dim] with exact zeros beyond each

@@ -33,6 +33,11 @@ def enable_persistent_compilation_cache(
     touching it. Harmless if the backend can't serialize executables
     (cache misses fall through to normal compilation)."""
     try:
+        if jax.default_backend() == "cpu":
+            # CPU AOT entries embed machine features that can mismatch
+            # across feature-detection runs (SIGILL risk) and CPU
+            # compiles are fast anyway — cache only device backends
+            return
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
