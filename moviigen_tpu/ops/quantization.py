@@ -235,6 +235,20 @@ def quantize_t5_params(params: Dict[str, Any], bits: int = 4,
     return rebuild(params)
 
 
+def _pattern_bytes(shape, dtype, salt: int):
+    """Deterministic varied bytes with a trivial program: a multiplied
+    iota over the largest axis, wrapped mod a prime. Benchmark-
+    equivalent to random weights (params are runtime jit arguments —
+    values cannot be constant-folded; MXU throughput is value-
+    independent) while avoiding the billion-element threefry programs
+    whose compiles can wedge a fragile remote compile helper and whose
+    uint32 transients spike HBM."""
+    axis = int(np.argmax(shape))
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    bytes_ = ((iota * 31 + salt) % 251).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(bytes_, dtype)
+
+
 def device_init_quantized_t5(seed: int, cfg, bits: int = 4,
                              group: int = 128) -> Dict[str, Any]:
     """Random quantized T5 encoder params materialized directly in HBM
@@ -251,31 +265,31 @@ def device_init_quantized_t5(seed: int, cfg, bits: int = 4,
         counter[0] += 1
         return jax.random.fold_in(key, counter[0])
 
+    def nextsalt():
+        counter[0] += 1
+        return seed * 1009 + counter[0] * 97
+
     L, d, da, df = cfg.num_layers, cfg.dim, cfg.dim_attn, cfg.dim_ffn
 
     def qlin(cin, cout):
         if bits == 4:
             g = group if cin % group == 0 else cin
             return {
-                "q4": jax.lax.bitcast_convert_type(
-                    jax.random.bits(nextkey(), (L, cin // 2, cout),
-                                    dtype=jnp.uint8), jnp.uint8),
+                "q4": _pattern_bytes((L, cin // 2, cout), jnp.uint8,
+                                     nextsalt()),
                 "scale": jnp.full((L, cin // g, cout),
                                   0.34 / np.sqrt(cin), jnp.float32),
             }
         return {
-            "q8": jax.lax.bitcast_convert_type(
-                jax.random.bits(nextkey(), (L, cin, cout),
-                                dtype=jnp.uint8), jnp.int8),
+            "q8": _pattern_bytes((L, cin, cout), jnp.int8, nextsalt()),
             "scale": jnp.full((L, cout), 0.02 / np.sqrt(cin),
                               jnp.float32),
         }
 
     return {
         "token_embedding": {
-            "q8": jax.lax.bitcast_convert_type(
-                jax.random.bits(nextkey(), (cfg.vocab_size, d),
-                                dtype=jnp.uint8), jnp.int8),
+            "q8": _pattern_bytes((cfg.vocab_size, d), jnp.int8,
+                                 nextsalt()),
             "scale": jnp.full((cfg.vocab_size,), 1.0 / 127.0,
                               jnp.float32),
         },
@@ -317,14 +331,14 @@ def device_init_quantized_wan(seed: int, cfg, bits: int = 8,
         counter[0] += 1
         return jax.random.fold_in(key, counter[0])
 
+    def nextsalt():
+        counter[0] += 1
+        return seed * 1009 + counter[0] * 97
+
     d, fd, L = cfg.dim, cfg.ffn_dim, cfg.num_layers
 
     def rand_bytes(shape, dtype):
-        # jax.random.bits at uint8 — randint would materialize 32-bit
-        # random bits (4x the leaf, a ~5.7 GB transient for the 14B FFN
-        # leaf) and OOM next to an already-resident encoder
-        return jax.lax.bitcast_convert_type(
-            jax.random.bits(nextkey(), shape, dtype=jnp.uint8), dtype)
+        return _pattern_bytes(shape, dtype, nextsalt())
 
     def q8(shape_in_out):
         cin, cout = shape_in_out
