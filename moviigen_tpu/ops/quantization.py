@@ -235,18 +235,29 @@ def quantize_t5_params(params: Dict[str, Any], bits: int = 4,
     return rebuild(params)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _pattern_bytes_impl(shape, dtype, salt):
+    axis = int(np.argmax(shape))
+    iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
+    bytes_ = ((iota * 31 + salt) % 251).astype(jnp.uint8)
+    return jax.lax.bitcast_convert_type(bytes_, dtype)
+
+
 def _pattern_bytes(shape, dtype, salt: int):
     """Deterministic varied bytes with a trivial program: a multiplied
     iota over the largest axis, wrapped mod a prime. Benchmark-
     equivalent to random weights (params are runtime jit arguments —
     values cannot be constant-folded; MXU throughput is value-
-    independent) while avoiding the billion-element threefry programs
-    whose compiles can wedge a fragile remote compile helper and whose
-    uint32 transients spike HBM."""
-    axis = int(np.argmax(shape))
-    iota = jax.lax.broadcasted_iota(jnp.int32, shape, axis)
-    bytes_ = ((iota * 31 + salt) % 251).astype(jnp.uint8)
-    return jax.lax.bitcast_convert_type(bytes_, dtype)
+    independent) while avoiding billion-element threefry programs.
+
+    MUST run under jit: eagerly, the int32 iota and each arithmetic
+    intermediate materialize (~4x the leaf — 5.7 GB for the 14B FFN
+    leaf, the OOM that killed 14B-int4 runs whenever anything else was
+    resident); fused, XLA writes the uint8 leaf directly."""
+    return _pattern_bytes_impl(tuple(shape), jnp.dtype(dtype), salt)
 
 
 def device_init_quantized_t5(seed: int, cfg, bits: int = 4,
