@@ -110,6 +110,11 @@ def _parse_args(argv=None):
                         choices=["int8", "int4", "w8a8"],
                         help="weight-only DiT quantization; int4 fits "
                              "the 14B flagship on one 16 GB chip")
+    parser.add_argument("--scan_loop", type=str2bool, default=None,
+                        help="force the denoise loop mode: true = one "
+                             "compiled lax.scan program, false = "
+                             "per-step dispatch (default: auto by "
+                             "model scale)")
     return parser.parse_args(argv)
 
 
@@ -203,6 +208,7 @@ def generate(args) -> str:
             frame_num=args.frame_num,
             shift=args.sample_shift,
             sample_solver=args.sample_solver,
+            scan_loop=args.scan_loop,
             sampling_steps=args.sample_steps,
             guide_scale=args.sample_guide_scale,
             seed=args.base_seed,

@@ -124,8 +124,12 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v = v.astype(compute_dtype)
 
     if backend == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if on_tpu else "xla"
+        # TPU plugins may register under other names (the environment's
+        # experimental 'axon' platform IS a TPU) — treat every non-CPU
+        # backend as Pallas-capable. Matching only "tpu" silently sent
+        # real-size runs to the O(L²)-memory xla path (343 TB of logits
+        # at 32k tokens).
+        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
 
     if backend == "pallas":
         from .flash_attention import flash_attention as _pallas_fa

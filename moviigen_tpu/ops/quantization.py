@@ -260,6 +260,58 @@ def _pattern_bytes(shape, dtype, salt: int):
     return _pattern_bytes_impl(tuple(shape), jnp.dtype(dtype), salt)
 
 
+def host_init_quantized_t5(seed: int, cfg, bits: int = 4,
+                           group: int = 128) -> Dict[str, Any]:
+    """Random quantized T5 encoder params built host-side (numpy
+    pattern bytes — seconds, vs minutes of numpy RNG). For the
+    upload-encode-free serving pattern where the quantized encoder
+    lives on the host between prompts."""
+    d, da, df, L = cfg.dim, cfg.dim_attn, cfg.dim_ffn, cfg.num_layers
+    counter = [0]
+
+    def nextsalt():
+        counter[0] += 1
+        return seed * 1009 + counter[0] * 97
+
+    def pat(shape, dtype):
+        axis = int(np.argmax(shape))
+        idx = np.arange(shape[axis], dtype=np.int64)
+        bcast = idx.reshape([-1 if i == axis else 1
+                             for i in range(len(shape))])
+        vals = ((bcast * 31 + nextsalt()) % 251).astype(np.uint8)
+        return np.broadcast_to(vals, shape).view(dtype).copy()
+
+    def qlin(cin, cout):
+        if bits == 4:
+            g = group if cin % group == 0 else cin
+            return {"q4": pat((L, cin // 2, cout), np.uint8),
+                    "scale": np.full((L, cin // g, cout),
+                                     0.34 / np.sqrt(cin), np.float32)}
+        return {"q8": pat((L, cin, cout), np.int8),
+                "scale": np.full((L, cout), 0.02 / np.sqrt(cin),
+                                 np.float32)}
+
+    rng = np.random.default_rng(seed)
+    return {
+        "token_embedding": {
+            "q8": pat((cfg.vocab_size, d), np.int8),
+            "scale": np.full((cfg.vocab_size,), 1.0 / 127.0, np.float32),
+        },
+        "blocks": {
+            "norm1": {"weight": np.ones((L, d), np.float32)},
+            "attn": {"q": qlin(d, da), "k": qlin(d, da),
+                     "v": qlin(d, da), "o": qlin(da, d)},
+            "norm2": {"weight": np.ones((L, d), np.float32)},
+            "ffn": {"gate": qlin(d, df), "fc1": qlin(d, df),
+                    "fc2": qlin(df, d)},
+            "pos_embedding": (rng.standard_normal(
+                (L, cfg.num_buckets, cfg.num_heads)).astype(np.float32)
+                * (2 * cfg.num_buckets * cfg.num_heads) ** -0.5),
+        },
+        "norm": {"weight": np.ones((d,), np.float32)},
+    }
+
+
 def device_init_quantized_t5(seed: int, cfg, bits: int = 4,
                              group: int = 128) -> Dict[str, Any]:
     """Random quantized T5 encoder params materialized directly in HBM

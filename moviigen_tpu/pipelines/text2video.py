@@ -24,6 +24,7 @@ from __future__ import annotations
 import logging
 import math
 import os
+import time
 from typing import Optional, Tuple
 
 import numpy as np
@@ -123,15 +124,18 @@ class WanT2V:
         t5_bytes = 2 * (tc.vocab_size * tc.dim + tc.num_layers * (
             3 * tc.dim * tc.dim_attn + tc.dim_attn * tc.dim
             + 3 * tc.dim * tc.dim_ffn))
+        big_t5 = t5_bytes > _T5_OFFLOAD_BYTES
+        self._quant_t5 = quant is not None and big_t5
         if offload_t5 == "auto":
-            # with weight-only quantization the encoder shrinks ~3.4x
-            # (int4: umT5-XXL 11.6 GB → ~3.4 GB) and stays device-
-            # resident next to the quantized DiT — no host encode
-            offload_t5 = (mesh is None and quant is None
-                          and t5_bytes > _T5_OFFLOAD_BYTES)
+            # big unquantized T5 on one small chip → host-kept,
+            # upload-encode-free per prompt. Quantized mode shrinks the
+            # encoder ~3.4x (int4: 11.6 GB → ~3.4 GB) but a 14B-int4
+            # denoise step needs the freed HBM more than the encode
+            # does, so the *quantized* tree is host-kept too (its upload
+            # is 3.4x cheaper); under a mesh it stays device-resident
+            # sharded. Pass offload_t5=False to force residency.
+            offload_t5 = mesh is None and big_t5
         self._offload_t5 = bool(offload_t5)
-        self._quant_t5 = quant is not None and not self._offload_t5 \
-            and t5_bytes > _T5_OFFLOAD_BYTES
 
         if checkpoint_dir is not None:
             from ..models.t5 import load_t5_checkpoint
@@ -140,12 +144,16 @@ class WanT2V:
 
             logging.info("loading checkpoints from %s", checkpoint_dir)
             if self._quant_t5:
-                self.t5_params = jax.tree_util.tree_map(
-                    jnp.asarray, self._quantized_with_cache(
-                        checkpoint_dir, f"t5_{quant}",
-                        lambda: self._quantize_t5_tree(
-                            checkpoint_dir, config, quant)))
-                _drain(self.t5_params)
+                host_t5 = self._quantized_with_cache(
+                    checkpoint_dir, f"t5_{quant}",
+                    lambda: self._quantize_t5_tree(
+                        checkpoint_dir, config, quant))
+                if self._offload_t5:
+                    self.t5_params = host_t5   # upload→encode→free
+                else:
+                    self.t5_params = jax.tree_util.tree_map(
+                        jnp.asarray, host_t5)
+                    _drain(self.t5_params)
             else:
                 self.t5_params = load_t5_checkpoint(
                     os.path.join(checkpoint_dir, config.t5_checkpoint),
@@ -154,6 +162,11 @@ class WanT2V:
             self.vae_params = load_vae_checkpoint(
                 os.path.join(checkpoint_dir, config.vae_checkpoint),
                 config.vae, dtype=jnp.float32)
+            if quant is not None and mesh is None:
+                # host-keep until decode: every 100 MB of headroom
+                # counts during the 14B-int4 denoise step
+                self.vae_params = jax.tree_util.tree_map(
+                    np.asarray, self.vae_params)
             if quant is not None:
                 # stage the full-precision tree host-side (28 GB for the
                 # 14B — never device-resident), quantize, then upload the
@@ -182,9 +195,12 @@ class WanT2V:
             logging.warning("no checkpoint_dir: random-init params "
                             "(smoke-test mode)")
             keys = jax.random.split(jax.random.PRNGKey(init_seed), 3)
-            if self._offload_t5:
-                self.t5_params = t5m.host_init_params(
-                    init_seed, config.t5, dtype=config.t5_dtype)
+            if self._quant_t5 and self._offload_t5:
+                from ..ops.quantization import host_init_quantized_t5
+
+                self.t5_params = host_init_quantized_t5(
+                    init_seed, config.t5,
+                    bits=4 if quant == "int4" else 8)
             elif self._quant_t5:
                 from ..ops.quantization import device_init_quantized_t5
 
@@ -195,6 +211,9 @@ class WanT2V:
                 # allocation burst (async dispatch interleaves them;
                 # near the HBM limit the overlap OOMs)
                 _drain(self.t5_params)
+            elif self._offload_t5:
+                self.t5_params = t5m.host_init_params(
+                    init_seed, config.t5, dtype=config.t5_dtype)
             else:
                 self.t5_params = t5m.init_params(
                     keys[0], config.t5, dtype=jnp.dtype(config.t5_dtype))
@@ -203,6 +222,9 @@ class WanT2V:
                 from ..ops.quantization import device_init_quantized_wan
 
                 _drain(self.vae_params)
+                if mesh is None:
+                    self.vae_params = jax.tree_util.tree_map(
+                        np.asarray, self.vae_params)
                 self.dit_params = device_init_quantized_wan(
                     init_seed, config.model,
                     bits=4 if quant == "int4" else 8,
@@ -322,7 +344,8 @@ class WanT2V:
             if 4 * seq_len * cfg.ffn_dim > limit:
                 import dataclasses as _dc
 
-                cfg = _dc.replace(cfg, ffn_chunk=16384)
+                cfg = _dc.replace(
+                    cfg, ffn_chunk=8192 if self.quant else 16384)
 
         def step(dit_params, latent, t, ctx_pair):
             x2 = jnp.concatenate([latent, latent], axis=0)
@@ -379,15 +402,22 @@ class WanT2V:
                  seed: int = -1,
                  noise: Optional[np.ndarray] = None,
                  return_latents: bool = False,
-                 scan_loop: bool = True):
+                 scan_loop: Optional[bool] = None):
         """Generate a video (ref WanT2V.generate, text2video.py:114-271).
 
-        ``scan_loop=True`` (default) runs the whole denoise loop as one
-        compiled ``lax.scan`` program — zero per-step host dispatch.
+        ``scan_loop=True`` runs the whole denoise loop as one compiled
+        ``lax.scan`` program — zero per-step host dispatch. Default
+        (None) auto-selects: scan for small/medium models where the
+        ~40 ms/step dispatch overhead matters; per-step dispatch at
+        flagship scale, where each step is tens of seconds (overhead is
+        noise) and one giant 50-step program is slower to compile and
+        harder on a fragile remote worker.
 
         Returns [C, F, H, W] numpy float32 in [-1, 1] (or the final latent
         when ``return_latents``).
         """
+        if scan_loop is None:
+            scan_loop = self.config.model.dim <= 2048
         target_shape, seq_len, grid = compute_target_shape_and_seq_len(
             self.config, size, frame_num, self.sp_size)
 
@@ -433,18 +463,35 @@ class WanT2V:
             latent = run(self.dit_params, latent, ctx_pair)
             latent.block_until_ready()
         else:
+            logging.info(
+                "denoising: %d %s steps at %d tokens (per-step dispatch)",
+                sampling_steps, sample_solver, seq_len)
             step_fn = self._denoise_fn(grid, seq_len, float(guide_scale))
             state = scheduler.init_state(latent)
+            t_log = time.time()
             for i, t in enumerate(scheduler.timesteps):
                 t_dev = jnp.asarray([float(t)], jnp.float32)
                 noise_pred = step_fn(self.dit_params, latent, t_dev,
                                      ctx_pair)
                 latent, state = scheduler.step(noise_pred, i, latent,
                                                state)
+                if i % 10 == 0 or i == len(scheduler.timesteps) - 1:
+                    jax.block_until_ready(latent)
+                    logging.info("  step %d/%d (%.1f s elapsed)", i + 1,
+                                 len(scheduler.timesteps),
+                                 time.time() - t_log)
 
         if return_latents:
             return np.asarray(latent[0])
 
         logging.info("VAE decode %s -> video", tuple(latent.shape))
-        video = self._vae_decode(self.vae_params, latent)
-        return np.asarray(video[0], np.float32)
+        vae_p = self.vae_params
+        host_kept = isinstance(
+            jax.tree_util.tree_leaves(vae_p)[0], np.ndarray)
+        if host_kept:
+            vae_p = jax.tree_util.tree_map(jnp.asarray, vae_p)
+        video = self._vae_decode(vae_p, latent)
+        out = np.asarray(video[0], np.float32)
+        if host_kept:
+            del vae_p, video  # free the transient device copy
+        return out
