@@ -31,6 +31,31 @@ import jax
 import jax.numpy as jnp
 
 
+@functools.lru_cache(maxsize=1)
+def _auto_backend() -> str:
+    """Resolve backend='auto' once per process.
+
+    CPU → 'xla' (Pallas-TPU kernels can't lower there; small shapes in
+    tests fuse fine). Known TPU platforms — including the experimental
+    'axon' plugin, which IS a TPU — → 'pallas'. Anything else (e.g. a GPU
+    deployment) gets the O(L)-memory chunked path rather than either the
+    Mosaic kernel (which can't lower) or the O(L²)-memory xla path
+    (343 TB of logits at 32k tokens)."""
+    platform = jax.default_backend()
+    if platform == "cpu":
+        return "xla"
+    if platform in ("tpu", "axon"):
+        return "pallas"
+    # Unknown accelerator: probe whether the Mosaic TPU kernel lowers.
+    try:
+        from .flash_attention import flash_attention as _pallas_fa
+        z = jnp.zeros((1, 8, 1, 128), jnp.bfloat16)
+        jax.jit(_pallas_fa).lower(z, z, z).compile()
+        return "pallas"
+    except Exception:
+        return "chunked"
+
+
 def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    k_lens: Optional[jnp.ndarray], scale: float) -> jnp.ndarray:
     logits = jnp.einsum(
@@ -124,12 +149,7 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v = v.astype(compute_dtype)
 
     if backend == "auto":
-        # TPU plugins may register under other names (the environment's
-        # experimental 'axon' platform IS a TPU) — treat every non-CPU
-        # backend as Pallas-capable. Matching only "tpu" silently sent
-        # real-size runs to the O(L²)-memory xla path (343 TB of logits
-        # at 32k tokens).
-        backend = "xla" if jax.default_backend() == "cpu" else "pallas"
+        backend = _auto_backend()
 
     if backend == "pallas":
         from .flash_attention import flash_attention as _pallas_fa

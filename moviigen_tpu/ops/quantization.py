@@ -159,12 +159,15 @@ def quantize_wan_params(params: Dict[str, Any],
     return rebuild(params)
 
 
-def save_quantized_checkpoint(path: str, tree: Dict[str, Any]) -> None:
+def save_quantized_checkpoint(path: str, tree: Dict[str, Any],
+                              metadata: Dict[str, str] = None) -> None:
     """Serialize a quantized param tree to safetensors ('/'-joined
     keys). Lets serving deployments quantize the full-precision
     checkpoint ONCE and afterwards load the compact tree directly
     (int4 14B: ~8 GB read instead of a 28 GB load + minutes of
-    quantization per process start)."""
+    quantization per process start). ``metadata`` (str→str) is stored in
+    the safetensors header — used for source-checkpoint fingerprints so
+    stale caches are detected."""
     from safetensors.numpy import save_file
 
     flat: Dict[str, np.ndarray] = {}
@@ -177,7 +180,16 @@ def save_quantized_checkpoint(path: str, tree: Dict[str, Any]) -> None:
             flat["/".join(p)] = np.asarray(t)
 
     walk(tree)
-    save_file(flat, path)
+    save_file(flat, path, metadata=metadata)
+
+
+def read_quantized_metadata(path: str) -> Dict[str, str]:
+    """Read the safetensors header metadata of a quantized cache (empty
+    dict if none)."""
+    from safetensors import safe_open
+
+    with safe_open(path, framework="numpy") as f:
+        return dict(f.metadata() or {})
 
 
 def load_quantized_checkpoint(path: str) -> Dict[str, Any]:

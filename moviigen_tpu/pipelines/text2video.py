@@ -147,7 +147,9 @@ class WanT2V:
                 host_t5 = self._quantized_with_cache(
                     checkpoint_dir, f"t5_{quant}",
                     lambda: self._quantize_t5_tree(
-                        checkpoint_dir, config, quant))
+                        checkpoint_dir, config, quant),
+                    sources=[os.path.join(checkpoint_dir,
+                                          config.t5_checkpoint)])
                 if self._offload_t5:
                     self.t5_params = host_t5   # upload→encode→free
                 else:
@@ -183,9 +185,15 @@ class WanT2V:
                         host_tree, bits=4 if quant == "int4" else 8,
                         act8=quant == "w8a8")
 
+                dit_shards = [
+                    os.path.join(checkpoint_dir, f)
+                    for f in os.listdir(checkpoint_dir)
+                    if f.startswith("diffusion_pytorch_model")
+                    and f.endswith(".safetensors")]
                 self.dit_params = jax.tree_util.tree_map(
                     jnp.asarray, self._quantized_with_cache(
-                        checkpoint_dir, f"dit_{quant}", _quantize_dit))
+                        checkpoint_dir, f"dit_{quant}", _quantize_dit,
+                        sources=dit_shards))
                 _drain(self.dit_params)
             else:
                 self.dit_params = load_wan_checkpoint(
@@ -275,21 +283,53 @@ class WanT2V:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _quantized_with_cache(checkpoint_dir: str, tag: str, build):
+    def _source_fingerprint(sources) -> str:
+        """Cheap identity of the full-precision source shards: name, byte
+        size and mtime of every file. O(1) per file (no content hash —
+        a 28 GB read per start would defeat the cache's purpose)."""
+        parts = []
+        for s in sorted(sources):
+            try:
+                st = os.stat(s)
+                parts.append(
+                    f"{os.path.basename(s)}:{st.st_size}:{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f"{os.path.basename(s)}:missing")
+        return ";".join(parts)
+
+    @staticmethod
+    def _quantized_with_cache(checkpoint_dir: str, tag: str, build,
+                              sources=()):
         """Load a cached quantized tree (safetensors next to the
-        checkpoint) or build + cache it. Cache write failures (read-only
-        checkpoint dirs) degrade to quantize-per-start."""
+        checkpoint) or build + cache it. The cache header records a
+        fingerprint of the source shards (size+mtime) and the quant tag;
+        on mismatch — updated checkpoint in place, changed quant
+        defaults — the stale cache is rebuilt instead of silently served.
+        Cache write failures (read-only checkpoint dirs) degrade to
+        quantize-per-start."""
         from ..ops.quantization import (load_quantized_checkpoint,
+                                        read_quantized_metadata,
                                         save_quantized_checkpoint)
 
         cache = os.path.join(checkpoint_dir,
                              f"moviigen_quant_{tag}.safetensors")
+        fp = WanT2V._source_fingerprint(sources)
         if os.path.exists(cache):
-            logging.info("loading quantized cache %s", cache)
-            return load_quantized_checkpoint(cache)
+            try:
+                meta = read_quantized_metadata(cache)
+            except Exception:  # unreadable header → treat as stale
+                meta = {}
+            if meta.get("source_fingerprint", fp) == fp:
+                logging.info("loading quantized cache %s", cache)
+                return load_quantized_checkpoint(cache)
+            logging.warning(
+                "quantized cache %s is stale (source checkpoint changed);"
+                " rebuilding", cache)
         tree = build()
         try:
-            save_quantized_checkpoint(cache, tree)
+            save_quantized_checkpoint(
+                cache, tree,
+                metadata={"source_fingerprint": fp, "tag": tag})
             logging.info("wrote quantized cache %s", cache)
         except Exception as e:  # noqa: BLE001 — cache is best-effort
             logging.warning("could not write quantized cache: %s", e)

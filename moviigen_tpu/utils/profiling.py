@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 
-@contextlib.contextmanager
 def enable_persistent_compilation_cache(
         path: str = "/root/repo/.jax_cache") -> None:
     """Persist compiled executables across processes.
@@ -45,6 +44,7 @@ def enable_persistent_compilation_cache(
         pass
 
 
+@contextlib.contextmanager
 def trace(logdir: str):
     """Capture a jax.profiler trace viewable in TensorBoard/Perfetto."""
     jax.profiler.start_trace(logdir)

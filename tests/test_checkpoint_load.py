@@ -89,3 +89,27 @@ def test_checkpoint_dir_quantized_with_cache(ckpt_dir, monkeypatch):
     b = pipe2.generate("a cat", size=(64, 64), frame_num=5,
                        sampling_steps=2, seed=7, return_latents=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quant_cache_stale_on_source_change(ckpt_dir):
+    """An in-place update of the source checkpoint must invalidate the
+    quantized cache (fingerprint mismatch → rebuild), not silently serve
+    stale weights (ADVICE r1)."""
+    from moviigen_tpu.ops.quantization import read_quantized_metadata
+
+    dit_cache = os.path.join(ckpt_dir, "moviigen_quant_dit_int4.safetensors")
+    shard = os.path.join(ckpt_dir, "diffusion_pytorch_model.safetensors")
+    WanT2V(config=CFGP, checkpoint_dir=ckpt_dir, quant="int4")
+    assert "source_fingerprint" in read_quantized_metadata(dit_cache)
+    mtime0 = os.path.getmtime(dit_cache)
+
+    # touch the source shard (simulates a re-published checkpoint)
+    st = os.stat(shard)
+    os.utime(shard, ns=(st.st_atime_ns, st.st_mtime_ns + 10 ** 9))
+    WanT2V(config=CFGP, checkpoint_dir=ckpt_dir, quant="int4")
+    assert os.path.getmtime(dit_cache) > mtime0, "stale cache not rebuilt"
+
+    # unchanged sources → cache reused, not rebuilt
+    mtime1 = os.path.getmtime(dit_cache)
+    WanT2V(config=CFGP, checkpoint_dir=ckpt_dir, quant="int4")
+    assert os.path.getmtime(dit_cache) == mtime1
