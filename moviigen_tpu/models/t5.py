@@ -248,11 +248,51 @@ def init_params(key: jax.Array, cfg: T5Config, dtype=jnp.bfloat16) -> Params:
     }
 
 
+def expected_t5_encoder_keys(cfg: T5Config) -> set:
+    """Key census of the reference ``T5Encoder`` state dict
+    (wan/modules/t5.py:265-310; umT5 uses ``shared_pos=False`` so every
+    block carries its own rel-pos embedding, t5.py:467) — exactly what
+    ``convert_t5_state_dict`` consumes."""
+    keys = {"token_embedding.weight", "norm.weight"}
+    for i in range(cfg.num_layers):
+        keys.add(f"blocks.{i}.norm1.weight")
+        keys.add(f"blocks.{i}.norm2.weight")
+        for p in ("q", "k", "v", "o"):
+            keys.add(f"blocks.{i}.attn.{p}.weight")
+        keys.add(f"blocks.{i}.ffn.gate.0.weight")
+        keys.add(f"blocks.{i}.ffn.fc1.weight")
+        keys.add(f"blocks.{i}.ffn.fc2.weight")
+        keys.add(f"blocks.{i}.pos_embedding.embedding.weight")
+    return keys
+
+
+def expected_t5_decoder_keys(cfg: T5Config) -> set:
+    """Key census of the reference ``T5Decoder`` (wan/modules/t5.py:
+    315-369) — exactly what ``convert_t5_decoder_state_dict`` consumes."""
+    keys = {"token_embedding.weight", "norm.weight"}
+    for i in range(cfg.num_layers):
+        for nrm in ("norm1", "norm2", "norm3"):
+            keys.add(f"blocks.{i}.{nrm}.weight")
+        for attn in ("self_attn", "cross_attn"):
+            for p in ("q", "k", "v", "o"):
+                keys.add(f"blocks.{i}.{attn}.{p}.weight")
+        keys.add(f"blocks.{i}.ffn.gate.0.weight")
+        keys.add(f"blocks.{i}.ffn.fc1.weight")
+        keys.add(f"blocks.{i}.ffn.fc2.weight")
+        keys.add(f"blocks.{i}.pos_embedding.embedding.weight")
+    return keys
+
+
 def convert_t5_state_dict(sd, cfg: T5Config, dtype=jnp.bfloat16,
-                          as_numpy: bool = False) -> Params:
+                          as_numpy: bool = False,
+                          strict: bool = True) -> Params:
     """Torch T5Encoder state dict → stacked pytree. Linear weights [O,I]
     transpose to [I,O]; per-layer tensors stack along a leading axis.
-    Built host-side (numpy + ml_dtypes); uploaded unless ``as_numpy``."""
+    Built host-side (numpy + ml_dtypes); uploaded unless ``as_numpy``.
+    ``strict`` errors on unconsumed checkpoint keys (census.py)."""
+    from .census import TrackedStateDict
+
+    sd = TrackedStateDict(sd, "T5Encoder checkpoint")
     import ml_dtypes
 
     np_dtype = np.dtype(ml_dtypes.bfloat16) \
@@ -296,6 +336,8 @@ def convert_t5_state_dict(sd, cfg: T5Config, dtype=jnp.bfloat16,
         "norm": {"weight":
                  np.asarray(sd["norm.weight"]).astype(np_dtype)},
     }
+    if strict:
+        sd.check_all_consumed()
     if not as_numpy:
         params = jax.tree_util.tree_map(jnp.asarray, params)
     return params
@@ -344,8 +386,12 @@ def host_init_params(seed: int, cfg: T5Config, dtype="bfloat16") -> Params:
 
 
 def convert_t5_decoder_state_dict(sd, cfg: T5Config,
-                                  dtype=jnp.float32) -> Params:
+                                  dtype=jnp.float32,
+                                  strict: bool = True) -> Params:
     """Torch T5Decoder state dict → stacked pytree."""
+    from .census import TrackedStateDict
+
+    sd = TrackedStateDict(sd, "T5Decoder checkpoint")
 
     def t(name):
         return jnp.asarray(np.asarray(sd[name]), dtype).T
@@ -374,21 +420,26 @@ def convert_t5_decoder_state_dict(sd, cfg: T5Config,
         "pos_embedding": stack_raw(
             "blocks.{}.pos_embedding.embedding.weight", jnp.float32),
     }
-    return {
+    params = {
         "token_embedding": jnp.asarray(
             np.asarray(sd["token_embedding.weight"]), dtype),
         "blocks": blocks,
         "norm": {"weight": jnp.asarray(np.asarray(sd["norm.weight"]),
                                        dtype)},
     }
+    if strict:
+        sd.check_all_consumed()
+    return params
 
 
 def load_t5_checkpoint(path: str, cfg: T5Config,
-                       dtype=jnp.bfloat16, as_numpy: bool = False) -> Params:
+                       dtype=jnp.bfloat16, as_numpy: bool = False,
+                       strict: bool = True) -> Params:
     """Load ``models_t5_umt5-xxl-enc-bf16.pth`` → pytree. Requires torch.
     ``as_numpy`` keeps the tree on the host (offload mode)."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.float().numpy() for k, v in sd.items()}
-    return convert_t5_state_dict(sd, cfg, dtype, as_numpy=as_numpy)
+    return convert_t5_state_dict(sd, cfg, dtype, as_numpy=as_numpy,
+                                 strict=strict)

@@ -59,9 +59,88 @@ def _attn(sd, name, dtype) -> Dict[str, Array]:
     }
 
 
+def expected_vae_keys(cfg: VAEConfig) -> set:
+    """Key census of the reference ``WanVAE_`` state dict
+    (wan/modules/vae.py:483-616) — exactly what
+    ``convert_vae_state_dict`` consumes."""
+    keys = set()
+
+    def conv(name):
+        keys.add(f"{name}.weight")
+        keys.add(f"{name}.bias")
+
+    def gamma(name):
+        keys.add(f"{name}.gamma")
+
+    def res(name, has_shortcut):
+        gamma(f"{name}.residual.0")
+        conv(f"{name}.residual.2")
+        gamma(f"{name}.residual.3")
+        conv(f"{name}.residual.6")
+        if has_shortcut:
+            conv(f"{name}.shortcut")
+
+    def attn(name):
+        gamma(f"{name}.norm")
+        conv(f"{name}.to_qkv")
+        conv(f"{name}.proj")
+
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    conv("encoder.conv1")
+    idx = 0
+    for i, (cin, cout) in enumerate(zip(dims[:-1], dims[1:])):
+        c = cin
+        for _ in range(cfg.num_res_blocks):
+            res(f"encoder.downsamples.{idx}", c != cout)
+            c = cout
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            conv(f"encoder.downsamples.{idx}.resample.1")
+            if cfg.temporal_downsample[i]:
+                conv(f"encoder.downsamples.{idx}.time_conv")
+            idx += 1
+    res("encoder.middle.0", False)
+    attn("encoder.middle.1")
+    res("encoder.middle.2", False)
+    gamma("encoder.head.0")
+    conv("encoder.head.2")
+
+    ddims = [cfg.dim * u for u in
+             (cfg.dim_mult[-1],) + tuple(reversed(cfg.dim_mult))]
+    temporal_upsample = tuple(reversed(cfg.temporal_downsample))
+    conv("decoder.conv1")
+    res("decoder.middle.0", False)
+    attn("decoder.middle.1")
+    res("decoder.middle.2", False)
+    idx = 0
+    for i, (cin, cout) in enumerate(zip(ddims[:-1], ddims[1:])):
+        if i in (1, 2, 3):
+            cin = cin // 2
+        c = cin
+        for _ in range(cfg.num_res_blocks + 1):
+            res(f"decoder.upsamples.{idx}", c != cout)
+            c = cout
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            conv(f"decoder.upsamples.{idx}.resample.1")
+            if temporal_upsample[i]:
+                conv(f"decoder.upsamples.{idx}.time_conv")
+            idx += 1
+    gamma("decoder.head.0")
+    conv("decoder.head.2")
+    conv("conv1")
+    conv("conv2")
+    return keys
+
+
 def convert_vae_state_dict(sd: Mapping[str, Any], cfg: VAEConfig,
-                           dtype=jnp.float32) -> Dict[str, Any]:
-    """state dict (tensor-like values convertible via np.asarray) → pytree."""
+                           dtype=jnp.float32,
+                           strict: bool = True) -> Dict[str, Any]:
+    """state dict (tensor-like values convertible via np.asarray) → pytree.
+    ``strict`` errors on unconsumed checkpoint keys (census.py)."""
+    from .census import TrackedStateDict
+
+    sd = TrackedStateDict(sd, "WanVAE checkpoint")
     dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
 
     # ---------------- encoder
@@ -136,14 +215,17 @@ def convert_vae_state_dict(sd: Mapping[str, Any], cfg: VAEConfig,
         "conv1": _conv3(sd, "conv1", dtype),
         "conv2": _conv3(sd, "conv2", dtype),
     }
+    if strict:
+        sd.check_all_consumed()
     return params
 
 
 def load_vae_checkpoint(path: str, cfg: VAEConfig,
-                        dtype=jnp.float32) -> Dict[str, Any]:
+                        dtype=jnp.float32,
+                        strict: bool = True) -> Dict[str, Any]:
     """Load ``Wan2.1_VAE.pth`` (torch pickle) → pytree. Requires torch."""
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.float().numpy() for k, v in sd.items()}
-    return convert_vae_state_dict(sd, cfg, dtype)
+    return convert_vae_state_dict(sd, cfg, dtype, strict=strict)

@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..configs import WanModelConfig
+from .census import TrackedStateDict
 
 Params = Dict[str, Any]
 
@@ -34,11 +35,26 @@ def _lin(sd, name, dtype, transpose=True, xp=jnp) -> Dict[str, Any]:
 
 def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
                            dtype=jnp.bfloat16,
-                           as_numpy: bool = False) -> Params:
+                           as_numpy: bool = False,
+                           strict: bool = True) -> Params:
     """``as_numpy=True`` builds the tree host-side (numpy arrays; bf16
     via ml_dtypes) — required when the full-precision tree exceeds device
     HBM and is only a staging step (e.g. quantization of the 28 GB 14B
-    tree before upload to a 16 GB chip)."""
+    tree before upload to a 16 GB chip).
+
+    ``strict=True`` (default) errors if any checkpoint key goes
+    unconsumed (renamed/extra keys would otherwise load silently wrong)
+    — the converter analog of ``load_state_dict(strict=True)``."""
+    tracked = TrackedStateDict(
+        sd, f"WanModel[{cfg.model_type}] checkpoint")
+    params = _convert_wan(tracked, cfg, dtype, as_numpy)
+    if strict:
+        tracked.check_all_consumed()
+    return params
+
+
+def _convert_wan(sd: Mapping[str, Any], cfg: WanModelConfig,
+                 dtype, as_numpy: bool) -> Params:
     n = cfg.num_layers
     xp = np if as_numpy else jnp
 
@@ -147,9 +163,56 @@ def convert_wan_state_dict(sd: Mapping[str, Any], cfg: WanModelConfig,
     return params
 
 
+def expected_wan_keys(cfg: WanModelConfig) -> set:
+    """The exact checkpoint key set ``convert_wan_state_dict`` consumes
+    for ``cfg`` — by construction the key census of the reference
+    ``WanModel`` (wan/modules/model.py:361-484; verified against a
+    meta-device instantiation of the full 14B module in
+    tests/test_key_census.py)."""
+    keys = set()
+
+    def lin(name):
+        keys.add(f"{name}.weight")
+        keys.add(f"{name}.bias")
+
+    lin("patch_embedding")
+    lin("text_embedding.0")
+    lin("text_embedding.2")
+    lin("time_embedding.0")
+    lin("time_embedding.2")
+    lin("time_projection.1")
+    lin("head.head")
+    keys.add("head.modulation")
+    for i in range(cfg.num_layers):
+        for attn, img in (("self_attn", False),
+                          ("cross_attn", cfg.model_type == "i2v")):
+            for p in ("q", "k", "v", "o"):
+                lin(f"blocks.{i}.{attn}.{p}")
+            if cfg.qk_norm:
+                keys.add(f"blocks.{i}.{attn}.norm_q.weight")
+                keys.add(f"blocks.{i}.{attn}.norm_k.weight")
+            if img:
+                lin(f"blocks.{i}.{attn}.k_img")
+                lin(f"blocks.{i}.{attn}.v_img")
+                if cfg.qk_norm:
+                    keys.add(f"blocks.{i}.{attn}.norm_k_img.weight")
+        lin(f"blocks.{i}.ffn.0")
+        lin(f"blocks.{i}.ffn.2")
+        keys.add(f"blocks.{i}.modulation")
+        if cfg.cross_attn_norm:
+            keys.add(f"blocks.{i}.norm3.weight")
+            keys.add(f"blocks.{i}.norm3.bias")
+    if cfg.model_type == "i2v":
+        for name in ("img_emb.proj.0", "img_emb.proj.1",
+                     "img_emb.proj.3", "img_emb.proj.4"):
+            lin(name)
+    return keys
+
+
 def load_wan_checkpoint(ckpt_dir: str, cfg: WanModelConfig,
                         dtype=jnp.bfloat16,
-                        as_numpy: bool = False) -> Params:
+                        as_numpy: bool = False,
+                        strict: bool = True) -> Params:
     """Load diffusers-layout safetensors shards from ``ckpt_dir``
     (``diffusion_pytorch_model*.safetensors``) → pytree.
 
@@ -171,4 +234,4 @@ def load_wan_checkpoint(ckpt_dir: str, cfg: WanModelConfig,
         with safe_open(os.path.join(ckpt_dir, fname), framework="pt") as f:
             for k in f.keys():
                 sd[k] = f.get_tensor(k).float().numpy()
-    return convert_wan_state_dict(sd, cfg, dtype, as_numpy)
+    return convert_wan_state_dict(sd, cfg, dtype, as_numpy, strict=strict)
