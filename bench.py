@@ -17,11 +17,15 @@ recovers), so each attempt runs in a killable subprocess with a
 timeout, falling back from the 14B-int4 flagship to the 1.3B bf16
 operating point rather than hanging or crashing without a metric.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is per-chip step throughput vs the A100 PyTorch reference —
-no published number exists (BASELINE.md), so we report the ratio against
-an A100 roofline estimate for the same workload (bf16 312 TFLOPs, 60%
-MFU ≈ upper bound of the reference stack).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"chip", ...}. vs_baseline is per-chip step throughput vs the A100
+PyTorch reference — no published number exists (BASELINE.md), so we
+report the ratio against an A100 roofline estimate for the same
+workload (bf16 312 TFLOPs, 60% MFU ≈ upper bound of the reference
+stack). "mfu" + "chip" + "peak_tflops" make the line self-explaining:
+on a 16 GB v5e (197 bf16 TFLOPs ≈ 0.63× A100 peak) an a100-ratio of
+~0.7 is ~70% MFU; the BASELINE target (≥2× per chip) refers to v5p
+(459 TFLOPs — see docs/performance.md "projected v5p").
 """
 
 import json
@@ -140,6 +144,9 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     a100_sec = total_flops / (312e12 * 0.60)
     vs_baseline = a100_sec / sec_per_step  # >1 == faster than A100 roofline
 
+    chip, peak = _chip_peak(jax.devices()[0].device_kind)
+    mfu = total_flops / sec_per_step / peak
+
     qtag = f"_{quant}" if quant else ""
     return {
         "metric": (f"sec_per_cfg_denoise_step_{task}{qtag}_"
@@ -147,7 +154,31 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
         "value": round(sec_per_step, 4),
         "unit": "s/step",
         "vs_baseline": round(vs_baseline, 3),
+        "mfu": round(mfu, 3),
+        "chip": chip,
+        "peak_tflops": round(peak / 1e12),
+        "tokens": tokens,
+        "note": ("vs_baseline is vs an A100-roofline (312 TFLOPs x 60% "
+                 "MFU) for the same FLOPs; this chip's peak is "
+                 f"{peak / 312e12:.2f}x A100"),
     }
+
+
+def _chip_peak(device_kind: str):
+    """(chip label, peak dense bf16 FLOP/s) from the PJRT device kind."""
+    kind = device_kind.lower()
+    table = [
+        ("v5 lite", ("v5e-16GB", 197e12)),
+        ("v5litepod", ("v5e-16GB", 197e12)),
+        ("v6 lite", ("v6e-32GB", 918e12)),
+        ("v5p", ("v5p-95GB", 459e12)),
+        ("v5", ("v5p-95GB", 459e12)),
+        ("v4", ("v4-32GB", 275e12)),
+    ]
+    for sub, entry in table:
+        if sub in kind:
+            return entry
+    return (device_kind, 197e12)  # conservative default
 
 
 def _single(argv):
@@ -163,9 +194,10 @@ def main(argv=None):
     import subprocess
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--size", default="480*832",
-                    help="WxH preset: 480*832 (default, the headline), "
-                         "1280*720, 1920*832")
+    ap.add_argument("--size", default=None,
+                    help="WxH preset: 1280*720 (default for the 14B — "
+                         "the BASELINE north-star 720P workload), "
+                         "480*832, 1920*832")
     ap.add_argument("--frame_num", type=int, default=81)
     ap.add_argument("--ffn_chunk", type=int, default=None,
                     help="stream tokens through the FFN in chunks "
@@ -178,7 +210,7 @@ def main(argv=None):
                     help="weight-only quantized params; int4 fits the "
                          "14B flagship on one 16 GB chip (24.2 s/step "
                          "measured at the default workload)")
-    ap.add_argument("--attempt_timeout", type=int, default=900,
+    ap.add_argument("--attempt_timeout", type=int, default=1500,
                     help="seconds before an attempt is killed and "
                          "the fallback config runs")
     ap.add_argument("--_single", nargs=5, default=None,
@@ -212,18 +244,35 @@ def main(argv=None):
     if task == "t2v-14B" and not big and quant is None:
         quant = "int4"
 
-    attempts = [(task, quant)]
-    if not explicit and (task, quant) != ("t2v-1.3B", None):
-        attempts.append(("t2v-1.3B", args.quant
-                         if args.quant in ("w8a8", "int8") else None))
+    # Attempt chain. Default (no explicit task/size): the BASELINE
+    # north-star first — 14B @ 1280x720x81f (75.6k tokens, the config
+    # the reference runs 4-GPU USP for, inference.sh:1-11) — falling
+    # back to 14B @ 480x832 and then the 1.3B operating point so a
+    # degraded worker still records a metric.
+    if args.size is not None:
+        attempts = [(task, quant, args.size)]
+        if not explicit and (task, quant) != ("t2v-1.3B", None):
+            attempts.append(("t2v-1.3B",
+                             args.quant if args.quant in ("w8a8", "int8")
+                             else None, args.size))
+    elif explicit:
+        attempts = [(task, quant,
+                     "1280*720" if task == "t2v-14B" else "480*832")]
+    else:
+        attempts = [(task, quant, "1280*720"),
+                    (task, quant, "480*832"),
+                    ("t2v-1.3B", args.quant
+                     if args.quant in ("w8a8", "int8") else None,
+                     "480*832")] if task == "t2v-14B" else \
+                   [(task, quant, "480*832")]
 
     # each attempt runs in a subprocess: SIGALRM cannot interrupt a hang
     # inside a native relay call, but the parent CAN kill the child —
     # and a dead child's device memory is released for the fallback
     last_err = None
-    for t, q in attempts:
+    for t, q, size in attempts:
         cmd = [sys.executable, __file__,
-               "--_single", t, q or "", args.size, str(args.frame_num),
+               "--_single", t, q or "", size, str(args.frame_num),
                str(args.ffn_chunk)]
         try:
             proc = subprocess.run(
@@ -236,7 +285,7 @@ def main(argv=None):
             last_err = last_err[0] if last_err else f"rc={proc.returncode}"
         except subprocess.TimeoutExpired:
             last_err = f"timeout after {args.attempt_timeout}s"
-        print(f"bench attempt ({t}, {q}) failed: {last_err}",
+        print(f"bench attempt ({t}, {q}, {size}) failed: {last_err}",
               file=sys.stderr)
         time.sleep(30)  # let the relay free the dead child's memory
     raise SystemExit(f"all bench attempts failed: {last_err}")

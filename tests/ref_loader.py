@@ -152,6 +152,18 @@ def load_ref_t5():
     return mod
 
 
+def load_ref_tokenizers():
+    """Reference tokenizers.py with ftfy stubbed to identity (ftfy is
+    not in the image; the TPU wrapper likewise degrades to no-ftfy, so
+    clean/pad/trim parity is exact for already-well-formed text)."""
+    if "ftfy" not in sys.modules:
+        ftfy = types.ModuleType("ftfy")
+        ftfy.fix_text = lambda s: s
+        sys.modules["ftfy"] = ftfy
+    return _load("ref_tokenizers",
+                 os.path.join(REF, "wan/modules/tokenizers.py"))
+
+
 def load_ref_qwen_vl():
     """Reference qwen_vl_utils with torchvision stubbed (host-only math —
     smart_resize/smart_nframes — needs no real torchvision)."""
