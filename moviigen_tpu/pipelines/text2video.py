@@ -99,7 +99,8 @@ class WanT2V:
                  sp_size: Optional[int] = None,
                  sp_mode: str = "ulysses",
                  offload_t5: str = "auto",
-                 quant: Optional[str] = None):
+                 quant: Optional[str] = None,
+                 prompt_cache: bool = True):
         if quant not in (None, "int8", "int4", "w8a8"):
             raise ValueError(
                 f"quant must be int8|int4|w8a8, got {quant!r}")
@@ -247,6 +248,23 @@ class WanT2V:
             tok_path, seq_len=config.model.text_len, clean="whitespace",
             vocab_size=config.t5.vocab_size)
 
+        # Prompt-embedding cache (preprocess-style; next to the
+        # checkpoint): the umT5-XXL encode costs a ~3.4 GB (quantized) or
+        # 11.6 GB transient upload per prompt through the relay in
+        # offload mode — for repeated prompts (validation sets, serving
+        # retries, CFG negative prompts, which rarely change) a cache hit
+        # skips the upload AND the encode entirely.
+        self._prompt_cache_dir = None
+        if prompt_cache and checkpoint_dir is not None:
+            self._prompt_cache_dir = os.path.join(
+                checkpoint_dir, "moviigen_prompt_cache")
+            t5_src = os.path.join(checkpoint_dir, config.t5_checkpoint)
+            self._prompt_cache_tag = (
+                f"{self._source_fingerprint([t5_src])};"
+                f"quant={quant if self._quant_t5 else None};"
+                f"len={config.model.text_len};"
+                f"tok={type(self.tokenizer).__name__}")
+
         if mesh is not None:
             from ..parallel.sharding import shard_pipeline_params
 
@@ -344,10 +362,45 @@ class WanT2V:
             config.t5, dtype=jnp.dtype(config.t5_dtype), as_numpy=True)
         return quantize_t5_params(host, bits=4 if quant == "int4" else 8)
 
+    def _prompt_cache_path(self, text: str) -> Optional[str]:
+        if self._prompt_cache_dir is None:
+            return None
+        import hashlib
+
+        h = hashlib.sha256(
+            f"{self._prompt_cache_tag}\x00{text}".encode()).hexdigest()
+        return os.path.join(self._prompt_cache_dir, f"{h[:32]}.npz")
+
     def encode_text(self, texts) -> jnp.ndarray:
         """Prompt(s) → [B, text_len, t5_dim] with exact zeros beyond each
         true length (the reference trims to true length and re-pads with
-        zeros before the DiT text MLP — t5.py:516-518 + model.py:549-554)."""
+        zeros before the DiT text MLP — t5.py:516-518 + model.py:549-554).
+
+        Embeddings are cached per (prompt, T5-checkpoint fingerprint,
+        quant mode) next to the checkpoint; a full-batch hit skips the
+        T5 upload+encode entirely."""
+        if isinstance(texts, str):
+            texts = [texts]
+        paths = [self._prompt_cache_path(t) for t in texts]
+        if all(p is not None and os.path.exists(p) for p in paths):
+            loaded = [np.load(p) for p in paths]
+            logging.info("prompt-embedding cache hit (%d prompt(s))",
+                         len(loaded))
+            dt = jnp.dtype(str(loaded[0]["dtype"]))
+            return jnp.asarray(
+                np.stack([z["ctx"] for z in loaded])).astype(dt)
+        ctx = self._encode_text_uncached(texts)
+        if self._prompt_cache_dir is not None:
+            try:
+                os.makedirs(self._prompt_cache_dir, exist_ok=True)
+                host = np.asarray(ctx, np.float32)  # bf16→fp32 exact
+                for p, row in zip(paths, host):
+                    np.savez(p, ctx=row, dtype=str(ctx.dtype))
+            except OSError as e:  # read-only checkpoint dir — best-effort
+                logging.warning("could not write prompt cache: %s", e)
+        return ctx
+
+    def _encode_text_uncached(self, texts) -> jnp.ndarray:
         ids, mask = self.tokenizer(texts, return_mask=True,
                                    add_special_tokens=True)
         ids = jnp.asarray(ids)

@@ -91,6 +91,35 @@ def test_checkpoint_dir_quantized_with_cache(ckpt_dir, monkeypatch):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_prompt_embedding_cache(ckpt_dir):
+    """Second encode of the same prompts must hit the on-disk cache next
+    to the checkpoint and return bit-identical embeddings (skipping the
+    T5 upload+encode — the ~40 s/prompt cost in offload mode)."""
+    pipe = WanT2V(config=CFGP, checkpoint_dir=ckpt_dir)
+    a = np.asarray(pipe.encode_text(["a cat", "a dog"]), np.float32)
+    cache_dir = os.path.join(ckpt_dir, "moviigen_prompt_cache")
+    assert os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) >= 2
+
+    # fresh pipeline, same checkpoint: full-batch hit, identical values
+    pipe2 = WanT2V(config=CFGP, checkpoint_dir=ckpt_dir)
+    pipe2._encode_text_uncached = None  # a miss would crash
+    b = np.asarray(pipe2.encode_text(["a cat", "a dog"]), np.float32)
+    np.testing.assert_array_equal(a, b)
+
+    # partial miss falls through to the encoder
+    pipe3 = WanT2V(config=CFGP, checkpoint_dir=ckpt_dir)
+    c = np.asarray(pipe3.encode_text(["a cat", "a NEW prompt"]),
+                   np.float32)
+    np.testing.assert_array_equal(a[0], c[0])
+
+    # disabled mode writes nothing
+    n0 = len(os.listdir(cache_dir))
+    pipe4 = WanT2V(config=CFGP, checkpoint_dir=ckpt_dir,
+                   prompt_cache=False)
+    pipe4.encode_text(["another uncached prompt"])
+    assert len(os.listdir(cache_dir)) == n0
+
+
 def test_quant_cache_stale_on_source_change(ckpt_dir):
     """An in-place update of the source checkpoint must invalidate the
     quantized cache (fingerprint mismatch → rebuild), not silently serve
