@@ -35,6 +35,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
+def _log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     import numpy as np
     import jax
@@ -72,6 +77,8 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
         cfg = dataclasses.replace(cfg, ffn_chunk=ffn_chunk)
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
+    _log(f"start {task} {quant} {size} {frame_num}f tokens={tokens} "
+         f"ffn_chunk={ffn_chunk}")
     if quant:
         from moviigen_tpu.ops.quantization import device_init_quantized_wan
 
@@ -81,6 +88,8 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     else:
         params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
                                        dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    _log("params initialized on device")
     rope = rope_3d_freqs(grid, cfg.head_dim)
 
     def denoise_step(params, x, t, ctx):

@@ -14,12 +14,34 @@ from __future__ import annotations
 import logging
 import os
 
+# Env vars that signal a multi-host launch. Order matters only for the
+# log message; any one of them triggers initialization.
+_MULTI_HOST_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_ID",
+)
 
-def maybe_initialize_distributed(force: bool = False) -> bool:
+
+def detect_multi_host_env() -> list:
+    """The subset of multi-host launcher env vars present (empty on a
+    single-host launch)."""
+    return [k for k in _MULTI_HOST_ENV_VARS if os.environ.get(k)]
+
+
+def maybe_initialize_distributed(force: bool = False,
+                                 strict: bool = False) -> bool:
     """Initialize jax.distributed when running multi-host (or forced).
 
     Heuristics: explicit JAX coordinator env, TPU pod env vars, or
     ``force``. Safe to call multiple times.
+
+    Failure semantics: in a detected multi-host environment a failed
+    initialize means every process would silently train on its OWN
+    devices with its OWN data — a divergent fleet, not a crash. That
+    failure is loud (logging.error naming the trigger vars) and, with
+    ``strict=True`` (or env MOVIIGEN_STRICT_DISTRIBUTED=1), fatal.
     """
     import jax
 
@@ -27,11 +49,11 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
         jax._src.distributed.global_state, "client", None) is not None
     if already:
         return True
-    multi_host_env = any(os.environ.get(k) for k in (
-        "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_ID"))
-    if not (force or multi_host_env):
+    triggers = detect_multi_host_env()
+    if not (force or triggers):
         return False
+    strict = strict or os.environ.get(
+        "MOVIIGEN_STRICT_DISTRIBUTED", "") not in ("", "0", "false")
     try:
         jax.distributed.initialize()
         logging.info("jax.distributed initialized: process %d/%d, %d "
@@ -40,5 +62,13 @@ def maybe_initialize_distributed(force: bool = False) -> bool:
                      jax.local_device_count(), jax.device_count())
         return True
     except Exception as e:
-        logging.warning("jax.distributed.initialize failed: %s", e)
+        msg = (f"jax.distributed.initialize FAILED in a multi-host "
+               f"environment (triggered by {triggers or ['force']}): {e}."
+               f" Continuing single-host would run every process on its "
+               f"own devices with its own data — a silently divergent "
+               f"fleet. Set MOVIIGEN_STRICT_DISTRIBUTED=1 to make this "
+               f"fatal.")
+        if strict:
+            raise RuntimeError(msg) from e
+        logging.error(msg)
         return False
