@@ -92,12 +92,24 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     _log("params initialized on device")
     rope = rope_3d_freqs(grid, cfg.head_dim)
 
+    # CFG pairing: batched (B=2) is ~1.9x per step where activations
+    # fit; at long sequence the doubled activation footprint is what
+    # OOMs a 16 GB chip, so cond/uncond run sequentially (B=1) — the
+    # reference always runs them sequentially (text2video.py:240-243).
+    cfg_batched = 2 * 2 * tokens * (3 * cfg.dim) <= (1 << 30)
+
     def denoise_step(params, x, t, ctx):
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        pred = wan_model.forward(params, x2, t2, ctx, cfg, rope,
+        if cfg_batched:
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            pred = wan_model.forward(params, x2, t2, ctx, cfg, rope,
+                                     attn_backend="pallas")
+            return pred[1:] + 5.0 * (pred[:1] - pred[1:])
+        cond = wan_model.forward(params, x, t, ctx[:1], cfg, rope,
                                  attn_backend="pallas")
-        return pred[1:] + 5.0 * (pred[:1] - pred[1:])
+        uncond = wan_model.forward(params, x, t, ctx[1:], cfg, rope,
+                                   attn_backend="pallas")
+        return uncond + 5.0 * (cond - uncond)
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal(lat_shape),
                     jnp.float32)

@@ -199,6 +199,14 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     return jnp.matmul(x, k, precision=prec) + p["bias"].astype(k.dtype)
 
 
+# Above this concatenated-output size the fused multi-GEMM's [B, L, ΣN]
+# transient costs more HBM than the width buys in MXU utilization
+# (at 75.6k tokens the fused QKV transient alone is 4.33 GB — the
+# single biggest allocation in the 14B@720P OOM); each projection is
+# already ≥5120 wide at flagship scale, so separate GEMMs lose nothing.
+_FUSE_BYTES_LIMIT = 1 << 30
+
+
 def _dense_multi(ps, x: jnp.ndarray, dtype=None):
     """Several projections of the SAME input as ONE wide GEMM.
 
@@ -206,7 +214,20 @@ def _dense_multi(ps, x: jnp.ndarray, dtype=None):
     [L,1536]x[1536,1536] runs at ~59 TF/s while [L,1536]x[1536,4608]
     runs at ~150 TF/s — so q/k/v (and cross k/v) are computed as a single
     concatenated matmul and split, which is the same arithmetic per
-    output column. Handles the int8 weight-only form like ``_dense``."""
+    output column. Handles the int8 weight-only form like ``_dense``.
+
+    At long sequence the fused output transient dominates HBM instead
+    (see ``_FUSE_BYTES_LIMIT``) — falls back to per-projection GEMMs,
+    which are bit-identical (same contraction per output column)."""
+    total_out = sum(
+        (p["kernel"] if "kernel" in p else p.get("q8", p.get("q4")))
+        .shape[-1] for p in ps)
+    n_tokens = 1
+    for s in x.shape[:-1]:
+        n_tokens *= s
+    if 2 * n_tokens * total_out > _FUSE_BYTES_LIMIT:
+        return [_dense(p, x, dtype) for p in ps]
+
     def kern(p, cd):
         if "q8" in p or "q4" in p:
             from moviigen_tpu.ops.quantization import dequantize_leaf
@@ -353,8 +374,15 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     e = (bp["modulation"].astype(jnp.float32)[None] + e0)
     e = [e[:, i][:, None, :] for i in range(6)]  # six [B, 1, C]
 
-    # self-attention with AdaLN scale/shift (model.py:298-302)
-    xm = layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[1]) + e[0]
+    # self-attention with AdaLN scale/shift (model.py:298-302).
+    # Modulation arithmetic is fp32; the result is cast to compute_dtype
+    # HERE (not inside the projection matmul) so the fp32 [B, L, D]
+    # modulated tensor fuses into one elementwise kernel writing
+    # compute_dtype — under reference autocast the Linear input is cast
+    # the same way, and at 75k tokens the difference is 1.4 GB of HBM
+    # per site.
+    xm = (layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[1])
+          + e[0]).astype(compute_dtype)
     y = self_attention(bp["self_attn"], xm, cfg, rope, k_lens,
                        compute_dtype, attn_backend, attn_fn=self_attn_fn)
     x = x + y.astype(jnp.float32) * e[2]
@@ -365,6 +393,7 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
                         eps=1e-6, keep_fp32=True)
     else:
         xc = x
+    xc = xc.astype(compute_dtype)
     if cfg.model_type == "i2v":
         ca = i2v_cross_attention(bp["cross_attn"], xc, context, cfg,
                                  compute_dtype, attn_backend)
@@ -374,7 +403,8 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     x = x + ca.astype(jnp.float32)
 
     # FFN with AdaLN (model.py:307-309)
-    xf = layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[4]) + e[3]
+    xf = (layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[4])
+          + e[3]).astype(compute_dtype)
     y = _ffn(bp["ffn"], xf, cfg, compute_dtype)
     x = x + y.astype(jnp.float32) * e[5]
     return x

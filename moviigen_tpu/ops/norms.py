@@ -27,7 +27,11 @@ def rms_norm(x: jnp.ndarray, weight: Optional[jnp.ndarray] = None,
     var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
     normed = (xf * lax.rsqrt(var + eps)).astype(x.dtype)
     if weight is not None:
-        normed = normed * weight
+        # weight applied in x.dtype: under reference autocast the scale
+        # IS half precision (model.py:83), and a fp32 weight here would
+        # silently promote the whole [B, L, D] product back to fp32
+        # (2.9 GB extra at 75k tokens)
+        normed = normed * weight.astype(x.dtype)
     return normed
 
 

@@ -440,21 +440,35 @@ class WanT2V:
                 cfg = _dc.replace(
                     cfg, ffn_chunk=8192 if self.quant else 16384)
 
-        def step(dit_params, latent, t, ctx_pair):
-            x2 = jnp.concatenate([latent, latent], axis=0)
-            t2 = jnp.concatenate([t, t], axis=0)
+        # CFG pairing: batched (one B=2 forward) is ~1.9x per step where
+        # activations fit. At long sequence on a single chip the doubled
+        # activation footprint is what OOMs — run cond/uncond
+        # sequentially (B=1, the reference's own order,
+        # text2video.py:240-243). Under SP the tokens are sharded, so
+        # the per-chip footprint stays small and batching stays on.
+        cfg_batched = use_sp or 2 * 2 * seq_len * (3 * cfg.dim) <= (1 << 30)
+
+        def fwd(dit_params, x, t, ctx):
             if use_sp:
                 from ..parallel.ulysses import sequence_parallel_forward
 
-                pred = sequence_parallel_forward(
-                    dit_params, x2, t2, ctx_pair, cfg, rope, mesh,
+                return sequence_parallel_forward(
+                    dit_params, x, t, ctx, cfg, rope, mesh,
                     seq_len=seq_len, attn_backend=backend,
                     sp_mode=self.sp_mode, fsdp_params=True)
+            return wan_model.forward(
+                dit_params, x, t, ctx, cfg, rope,
+                seq_len=seq_len, attn_backend=backend)
+
+        def step(dit_params, latent, t, ctx_pair):
+            if cfg_batched:
+                x2 = jnp.concatenate([latent, latent], axis=0)
+                t2 = jnp.concatenate([t, t], axis=0)
+                pred = fwd(dit_params, x2, t2, ctx_pair)
+                cond, uncond = pred[:1], pred[1:]
             else:
-                pred = wan_model.forward(
-                    dit_params, x2, t2, ctx_pair, cfg, rope,
-                    seq_len=seq_len, attn_backend=backend)
-            cond, uncond = pred[:1], pred[1:]
+                cond = fwd(dit_params, latent, t, ctx_pair[:1])
+                uncond = fwd(dit_params, latent, t, ctx_pair[1:])
             return uncond + guide_scale * (cond - uncond)
 
         return step
