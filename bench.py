@@ -116,27 +116,6 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
     t = jnp.asarray([500.0], jnp.float32)
     ctx = jnp.zeros((2, cfg.text_len, cfg.text_dim), jnp.bfloat16)
 
-    # chained iterations inside one jit + scalar readback: robust against
-    # async-dispatch timing artifacts (block_until_ready is unreliable
-    # through the remote-TPU relay). At long sequences (≥40k tokens) the
-    # loop-carry double buffering pushes a memory-marginal step over the
-    # HBM edge and the per-dispatch overhead (~40 ms) is noise against a
-    # tens-of-seconds step — time a single bare step instead.
-    n_iter = 3 if tokens < 40_000 and task != "t2v-14B" else 1
-
-    if n_iter == 1:
-        @jax.jit
-        def chain(params, x, t, ctx):
-            return jnp.sum(denoise_step(params, x, t, ctx))
-    else:
-        @jax.jit
-        def chain(params, x, t, ctx):
-            def body(i, acc):
-                return denoise_step(params, acc, t, ctx) * jnp.float32(0.999)
-
-            out = jax.lax.fori_loop(0, n_iter, body, x)
-            return jnp.sum(out)
-
     trivial = jax.jit(lambda v: jnp.sum(v))
     float(trivial(t))
     t0 = time.perf_counter()
@@ -144,10 +123,56 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg):
         float(trivial(t))
     overhead = (time.perf_counter() - t0) / 3
 
-    float(chain(params, x, t, ctx))  # compile + warmup
-    t0 = time.perf_counter()
-    float(chain(params, x, t, ctx))
-    sec_per_step = (time.perf_counter() - t0 - overhead) / n_iter
+    if cfg_batched:
+        # chained iterations inside one jit + scalar readback: robust
+        # against async-dispatch timing artifacts (block_until_ready is
+        # unreliable through the remote-TPU relay). At long sequences
+        # (≥40k tokens) the loop-carry double buffering pushes a
+        # memory-marginal step over the HBM edge and the per-dispatch
+        # overhead (~40 ms) is noise against a tens-of-seconds step —
+        # time a single bare step instead.
+        n_iter = 3 if tokens < 40_000 and task != "t2v-14B" else 1
+
+        if n_iter == 1:
+            @jax.jit
+            def chain(params, x, t, ctx):
+                return jnp.sum(denoise_step(params, x, t, ctx))
+        else:
+            @jax.jit
+            def chain(params, x, t, ctx):
+                def body(i, acc):
+                    return denoise_step(params, acc, t, ctx) \
+                        * jnp.float32(0.999)
+
+                out = jax.lax.fori_loop(0, n_iter, body, x)
+                return jnp.sum(out)
+
+        _log("compiling CFG step (batched pair)")
+        float(chain(params, x, t, ctx))  # compile + warmup
+        _log("compiled + warm; measuring")
+        t0 = time.perf_counter()
+        float(chain(params, x, t, ctx))
+        sec_per_step = (time.perf_counter() - t0 - overhead) / n_iter
+    else:
+        # sequential CFG: the jitted unit is ONE B=1 forward; cond and
+        # uncond are two dispatches of the same compiled program (at 14B
+        # 75.6k tokens one compile is ~16 min through the remote compile
+        # helper — a fused two-forward program would double that and has
+        # crashed the worker)
+        @jax.jit
+        def fwd1(params, x, t, c):
+            return jnp.sum(wan_model.forward(
+                params, x, t, c, cfg, rope,
+                attn_backend="pallas").astype(jnp.float32))
+
+        ctx1 = ctx[:1]
+        _log("compiling single forward (sequential CFG)")
+        float(fwd1(params, x, t, ctx1))  # compile + warmup
+        _log("compiled + warm; measuring 2 forwards (one CFG step)")
+        t0 = time.perf_counter()
+        float(fwd1(params, x, t, ctx1))
+        float(fwd1(params, x, t, ctx1))
+        sec_per_step = time.perf_counter() - t0 - 2 * overhead
 
     # FLOPs per CFG step (2 model evals, MACs×2):
     # - per token: self qkvo 4d² + cross q/o 2d² + ffn 2·d·ffn

@@ -98,18 +98,42 @@ class WanI2V(WanT2V):
             rope = rope_3d_freqs(grid, cfg.head_dim)
             backend = self.attn_backend
 
-            def step(dit_params, latent, t, ctx_pair, y, clip_fea):
-                x2 = jnp.concatenate([latent, latent], axis=0)
-                t2 = jnp.concatenate([t, t], axis=0)
-                y2 = jnp.concatenate([y[None], y[None]], axis=0)
-                cf2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
-                pred = wan_model.forward(
-                    dit_params, x2, t2, ctx_pair, cfg, rope,
-                    seq_len=seq_len, attn_backend=backend,
-                    clip_fea=cf2, y=y2)
-                return pred[1:] + guide_scale * (pred[:1] - pred[1:])
+            # same CFG-pairing rule as the T2V pipeline: batched pair
+            # while the doubled activations fit, else two dispatches of
+            # one compiled B=1 forward (halves the long-seq compile too)
+            cfg_batched = 2 * 2 * seq_len * (3 * cfg.dim) <= (1 << 30)
 
-            self._denoise_step_cache[key] = jax.jit(step)
+            if cfg_batched:
+                def step(dit_params, latent, t, ctx_pair, y, clip_fea):
+                    x2 = jnp.concatenate([latent, latent], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    y2 = jnp.concatenate([y[None], y[None]], axis=0)
+                    cf2 = jnp.concatenate([clip_fea, clip_fea], axis=0)
+                    pred = wan_model.forward(
+                        dit_params, x2, t2, ctx_pair, cfg, rope,
+                        seq_len=seq_len, attn_backend=backend,
+                        clip_fea=cf2, y=y2)
+                    return pred[1:] + guide_scale * (pred[:1] - pred[1:])
+
+                self._denoise_step_cache[key] = jax.jit(step)
+            else:
+                @jax.jit
+                def fwd_j(dit_params, latent, t, ctx, y, clip_fea):
+                    return wan_model.forward(
+                        dit_params, latent, t, ctx, cfg, rope,
+                        seq_len=seq_len, attn_backend=backend,
+                        clip_fea=clip_fea, y=y[None])
+
+                combine = jax.jit(lambda c, u: u + guide_scale * (c - u))
+
+                def step(dit_params, latent, t, ctx_pair, y, clip_fea):
+                    cond = fwd_j(dit_params, latent, t, ctx_pair[:1],
+                                 y, clip_fea)
+                    uncond = fwd_j(dit_params, latent, t, ctx_pair[1:],
+                                   y, clip_fea)
+                    return combine(cond, uncond)
+
+                self._denoise_step_cache[key] = step
         return self._denoise_step_cache[key]
 
     def generate(self, input_prompt: str, image: np.ndarray,
