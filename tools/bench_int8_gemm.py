@@ -21,11 +21,12 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def timeit(fn, *args, iters=8):
+    """Seconds per chained iteration (fn internally runs `iters` steps)."""
     fn_j = jax.jit(fn)
     float(fn_j(*args))  # compile + warm
     t0 = time.perf_counter()
     float(fn_j(*args))
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / iters  # per-iteration seconds
 
 
 def chain(step, iters):
@@ -65,8 +66,7 @@ def main():
         return jnp.matmul(x, w)
 
     sec = timeit(chain(step_bf16, iters), xb, wb, iters=iters)
-    bf16_tfs = flops * iters / sec / 1e12 / iters * iters  # per-iter amort
-    bf16_tfs = flops / (sec / iters) / 1e12
+    bf16_tfs = flops / sec / 1e12
     print(f"bf16 XLA GEMM          {m}x{k}x{n}: {bf16_tfs:7.1f} TF/s")
 
     # ---- b) int8 XLA (raw dot, rescale outside)
@@ -81,7 +81,7 @@ def main():
                 ).astype(jnp.bfloat16)
 
     sec = timeit(chain(step_int8_xla, iters), xb, wq, sw, iters=iters)
-    xla8_tfs = flops / (sec / iters) / 1e12
+    xla8_tfs = flops / sec / 1e12
     print(f"int8 XLA + rescale     {m}x{k}x{n}: {xla8_tfs:7.1f} TOP/s "
           f"({xla8_tfs / bf16_tfs:.2f}x bf16)")
 
@@ -92,7 +92,7 @@ def main():
                                bm=args.bm, bn=args.bn, bk=args.bk)
 
     sec = timeit(chain(step_pallas, iters), xb, wq, sw, iters=iters)
-    pl_tfs = flops / (sec / iters) / 1e12
+    pl_tfs = flops / sec / 1e12
     print(f"Pallas fused W8A8      {m}x{k}x{n}: {pl_tfs:7.1f} TOP/s "
           f"({pl_tfs / bf16_tfs:.2f}x bf16) "
           f"[bm={args.bm} bn={args.bn} bk={args.bk}]")
