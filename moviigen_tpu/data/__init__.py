@@ -1,5 +1,6 @@
 from .video_reader import read_video_frames, probe_video
 from .t2v_dataset import T2VDataset, filter_resolution, TemporalRandomCrop
+from . import transforms
 
 __all__ = [
     "read_video_frames",
@@ -7,4 +8,5 @@ __all__ = [
     "T2VDataset",
     "filter_resolution",
     "TemporalRandomCrop",
+    "transforms",
 ]

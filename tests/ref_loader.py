@@ -195,3 +195,14 @@ def load_ref_qwen_vl():
     sys.modules["ref_qwen_vl_utils"] = mod
     exec(compile(open(path).read(), path, "exec"), mod.__dict__)
     return mod
+
+
+def load_ref_transforms():
+    """Reference transform zoo (scripts/dataset/transform.py).
+
+    The file ships live ``breakpoint()`` calls (center_crop_th_tw L133,
+    CenterCropResizeVideo.__call__ L339-341) — PYTHONBREAKPOINT=0
+    turns them into no-ops so the oracles are callable."""
+    os.environ["PYTHONBREAKPOINT"] = "0"
+    return _load("ref_transform",
+                 os.path.join(REF, "scripts/dataset/transform.py"))
