@@ -110,6 +110,12 @@ def _parse_args(argv=None):
                         choices=["int8", "int4", "w8a8"],
                         help="weight-only DiT quantization; int4 fits "
                              "the 14B flagship on one 16 GB chip")
+    parser.add_argument("--residual_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="DiT residual-stream dtype on the "
+                             "single-chip path; bfloat16 halves its "
+                             "HBM (<1%% measured output delta) and "
+                             "fits 131k-token 1080P-81f on 16 GB")
     parser.add_argument("--scan_loop", type=str2bool, default=None,
                         help="force the denoise loop mode: true = one "
                              "compiled lax.scan program, false = "
@@ -201,7 +207,8 @@ def generate(args) -> str:
         )
     else:
         pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir, mesh=mesh,
-                      sp_mode=sp_mode, quant=args.quant)
+                      sp_mode=sp_mode, quant=args.quant,
+                      residual_dtype=args.residual_dtype)
         video = pipe.generate(
             args.prompt,
             size=SIZE_CONFIGS[args.size],

@@ -112,7 +112,8 @@ class WanI2V(WanT2V):
                     pred = wan_model.forward(
                         dit_params, x2, t2, ctx_pair, cfg, rope,
                         seq_len=seq_len, attn_backend=backend,
-                        clip_fea=cf2, y=y2)
+                        clip_fea=cf2, y=y2,
+                        residual_dtype=self._residual_dtype)
                     return pred[1:] + guide_scale * (pred[:1] - pred[1:])
 
                 self._denoise_step_cache[key] = jax.jit(step)
@@ -122,7 +123,8 @@ class WanI2V(WanT2V):
                     return wan_model.forward(
                         dit_params, latent, t, ctx, cfg, rope,
                         seq_len=seq_len, attn_backend=backend,
-                        clip_fea=clip_fea, y=y[None])
+                        clip_fea=clip_fea, y=y[None],
+                        residual_dtype=self._residual_dtype)
 
                 combine = jax.jit(lambda c, u: u + guide_scale * (c - u))
 

@@ -100,10 +100,21 @@ class WanT2V:
                  sp_mode: str = "ulysses",
                  offload_t5: str = "auto",
                  quant: Optional[str] = None,
-                 prompt_cache: bool = True):
+                 prompt_cache: bool = True,
+                 residual_dtype: str = "float32"):
         if quant not in (None, "int8", "int4", "w8a8"):
             raise ValueError(
                 f"quant must be int8|int4|w8a8, got {quant!r}")
+        if residual_dtype not in ("float32", "bfloat16"):
+            raise ValueError("residual_dtype must be float32|bfloat16, "
+                             f"got {residual_dtype!r}")
+        # bfloat16 halves the residual-stream HBM footprint (measured
+        # <1% output delta at 1.3B) — the knob that fits 131k-token
+        # 1080P-81f on a single 16 GB chip. Applies to the single-chip
+        # path only: under SP the tokens are sharded, so the fp32
+        # residual stream (the reference's discipline, model.py:569-571)
+        # stays affordable per chip.
+        self._residual_dtype = jnp.dtype(residual_dtype)
         self.quant = quant
         self.config = config
         self.attn_backend = attn_backend
@@ -458,7 +469,8 @@ class WanT2V:
                     sp_mode=self.sp_mode, fsdp_params=True)
             return wan_model.forward(
                 dit_params, x, t, ctx, cfg, rope,
-                seq_len=seq_len, attn_backend=backend)
+                seq_len=seq_len, attn_backend=backend,
+                residual_dtype=self._residual_dtype)
 
         return fwd, cfg_batched
 

@@ -159,3 +159,26 @@ def test_generate_quantized_t5_resident_sharded(monkeypatch):
                            sampling_steps=2, seed=11)
     assert video.shape == (3, 5, 64, 64)
     assert np.all(np.isfinite(video))
+
+
+def test_generate_residual_bf16_close_to_fp32(pipe):
+    """bfloat16 residual stream (the single-chip 131k-token HBM knob,
+    --residual_dtype) produces latents close to the fp32-residual
+    baseline — the dtype only touches the inter-block carry, not the
+    fp32 islands (AdaLN/time-embed/norm/head)."""
+    noise = np.random.default_rng(3).standard_normal(
+        (4, 2, 8, 8)).astype(np.float32)
+    ref = pipe.generate("a red fox", size=(64, 64), frame_num=5,
+                        sampling_steps=2, noise=noise,
+                        return_latents=True)
+    bpipe = WanT2V(config=WAN_CONFIGS["t2v-tiny"], checkpoint_dir=None,
+                   residual_dtype="bfloat16")
+    got = bpipe.generate("a red fox", size=(64, 64), frame_num=5,
+                         sampling_steps=2, noise=noise,
+                         return_latents=True)
+    assert np.all(np.isfinite(got))
+    denom = max(1e-6, float(np.abs(ref).max()))
+    assert np.abs(got - ref).max() / denom < 0.15
+
+    with pytest.raises(ValueError):
+        WanT2V(config=WAN_CONFIGS["t2v-tiny"], residual_dtype="fp8")

@@ -1,0 +1,99 @@
+"""Flash-attention block sweep at production sequence lengths.
+
+The 720P/1080P steps are attention-dominated (self-attn is O(L^2) over
+75.6k / 131k tokens — wan/text2video.py:164-166 token formula), so the
+kernel's block shape matters more at long L than at the 32k the r1
+sweep used. This sweeps (block_q, block_k) at the three production
+token counts and prints effective TF/s over TRUE (unpadded) FLOPs.
+
+Timing per CLAUDE.md: iterations chained inside one jitted fori_loop,
+one scalar readback. The output of flash_attention has q's shape, so
+the chain feeds out -> q with fixed k/v.
+
+Usage:
+    python tools/bench_flash_sweep.py --seqs 32760 75600 131040 \
+        --blocks 512 1024 2048 --iters 4
+    python tools/bench_flash_sweep.py --seqs 75600 --bq 1024 --bk 2048
+"""
+
+import argparse
+import itertools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from moviigen_tpu.ops.flash_attention import flash_attention  # noqa: E402
+
+
+def bench_one(l, n_heads, d, bq, bk, iters, heads_per_call):
+    """Seconds per fwd call at [1, l, n_heads, d], timed in chunks of
+    heads_per_call heads to bound HBM at 131k tokens."""
+    rng = np.random.default_rng(0)
+    nh = heads_per_call
+    q = jnp.asarray(rng.standard_normal((1, l, nh, d)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, l, nh, d)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, l, nh, d)) * 0.1, jnp.bfloat16)
+
+    def run(q0, k0, v0):
+        def body(i, acc):
+            return flash_attention(acc, k0, v0, block_q=bq, block_k=bk)
+        out = jax.lax.fori_loop(0, iters, body, q0)
+        return jnp.sum(out.astype(jnp.float32))
+
+    fn = jax.jit(run)
+    float(fn(q, k, v))  # compile + warm
+    t0 = time.perf_counter()
+    float(fn(q, k, v))
+    sec_call = (time.perf_counter() - t0) / iters
+    return sec_call * (n_heads / nh)  # scale to the full head count
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seqs", type=int, nargs="+",
+                    default=[32760, 75600, 131040])
+    ap.add_argument("--blocks", type=int, nargs="+",
+                    default=[512, 1024, 2048])
+    ap.add_argument("--bq", type=int, default=None)
+    ap.add_argument("--bk", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=40,
+                    help="14B head count (FLOPs scaled to this)")
+    ap.add_argument("--heads_per_call", type=int, default=8,
+                    help="heads actually resident per timed call")
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    if args.bq and args.bk:
+        combos = [(args.bq, args.bk)]
+    else:
+        combos = list(itertools.product(args.blocks, args.blocks))
+
+    for l in args.seqs:
+        flops = 4 * l * l * args.d * args.heads  # true, unpadded
+        best = None
+        for bq, bk in combos:
+            try:
+                sec = bench_one(l, args.heads, args.d, bq, bk,
+                                args.iters, args.heads_per_call)
+            except Exception as e:  # OOM / untileable
+                print(f"L={l:7d} bq={bq:5d} bk={bk:5d}: FAIL "
+                      f"{type(e).__name__}: {str(e)[:80]}")
+                continue
+            tfs = flops / sec / 1e12
+            print(f"L={l:7d} bq={bq:5d} bk={bk:5d}: {sec:7.3f} s "
+                  f"(x{args.heads}h) {tfs:6.1f} TF/s", flush=True)
+            if best is None or tfs > best[0]:
+                best = (tfs, bq, bk)
+        if best:
+            print(f"L={l:7d} BEST: {best[0]:.1f} TF/s "
+                  f"at bq={best[1]} bk={best[2]}\n", flush=True)
+
+
+if __name__ == "__main__":
+    main()
