@@ -14,9 +14,15 @@ parity; the reference runs all linears bf16 via cuBLAS,
 wan/modules/model.py). Numerics oracle: ``ops.quantization.int8_matmul``
 (exact int32) + fp32 rescale — see tests/test_int8_gemm.py.
 
-Measured context (docs/performance.md "W8A8"): XLA's int8 dot reaches
-only 1.1× bf16 on v5e; this kernel is the attempt to reach the MXU's
-double-rate int8 path directly.
+Measured (docs/performance.md "W8A8", v5e, 32768×5120×5120): bf16 XLA
+121.8 TF/s; XLA int8 dot + rescale 172.8 TOP/s (1.42×); this kernel
+156-172 TOP/s fused at the swept-best 1024³ blocks (118 at the old
+256/512/512 defaults) with a 180.4 TOP/s GEMM-only ceiling (1.48×).
+The MXU's nominal double-rate int8 (394 TOPS) is not reachable on this
+stack from either path — int8 achievable efficiency caps at ~46% of
+spec vs 62% for bf16. XLA's int8 dot ties the Pallas kernel within
+relay noise, so the serving path (`ops.quantization.int8_matmul`) stays
+on XLA; this kernel remains for fusion-sensitive shapes.
 """
 
 from __future__ import annotations
@@ -67,7 +73,7 @@ def _kernel(xq_ref, wq_ref, sx_ref, sw_ref, bias_ref, o_ref, acc_ref,
 def int8_gemm_fused(xq: jnp.ndarray, wq: jnp.ndarray, sx: jnp.ndarray,
                     sw: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
                     out_dtype=jnp.bfloat16,
-                    bm: int = 256, bn: int = 512, bk: int = 512
+                    bm: int = 1024, bn: int = 1024, bk: int = 1024
                     ) -> jnp.ndarray:
     """``(xq·sx) @ (wq·sw) + bias`` with int8 inputs and a fused fp32
     rescale epilogue.
