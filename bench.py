@@ -331,17 +331,29 @@ def main(argv=None):
         cmd = [sys.executable, __file__,
                "--_single", t, q or "", size, str(args.frame_num),
                str(args.ffn_chunk), args.residual_dtype]
-        try:
-            proc = subprocess.run(
-                cmd, timeout=args.attempt_timeout,
-                capture_output=True, text=True)
-            if proc.returncode == 0 and proc.stdout.strip():
-                print(proc.stdout.strip().splitlines()[-1])
-                return
-            last_err = (proc.stderr or "").strip().splitlines()[-1:]
-            last_err = last_err[0] if last_err else f"rc={proc.returncode}"
-        except subprocess.TimeoutExpired:
-            last_err = f"timeout after {args.attempt_timeout}s"
+        # one retry when the worker itself died mid-attempt (the relay's
+        # TPU process crashes/restarts occasionally; that error says
+        # nothing about whether the workload fits) — but not for OOM or
+        # program errors, which are deterministic.
+        for attempt_try in range(2):
+            try:
+                proc = subprocess.run(
+                    cmd, timeout=args.attempt_timeout,
+                    capture_output=True, text=True)
+                if proc.returncode == 0 and proc.stdout.strip():
+                    print(proc.stdout.strip().splitlines()[-1])
+                    return
+                tail = (proc.stderr or "").strip().splitlines()[-1:]
+                last_err = tail[0] if tail else f"rc={proc.returncode}"
+            except subprocess.TimeoutExpired:
+                last_err = f"timeout after {args.attempt_timeout}s"
+            transient = ("UNAVAILABLE" in last_err
+                         or "crashed or restarted" in last_err)
+            if not (transient and attempt_try == 0):
+                break
+            print(f"bench attempt ({t}, {q}, {size}) hit a worker "
+                  f"crash; retrying once: {last_err}", file=sys.stderr)
+            time.sleep(120)  # give the relay worker time to restart
         print(f"bench attempt ({t}, {q}, {size}) failed: {last_err}",
               file=sys.stderr)
         time.sleep(30)  # let the relay free the dead child's memory
