@@ -76,10 +76,23 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg,
         import dataclasses
 
         cfg = dataclasses.replace(cfg, ffn_chunk=ffn_chunk)
+    # head-chunking rule (same as pipelines/text2video.py): past ~75k
+    # tokens the full-head q/k/v/out transients kill the 16 GB worker —
+    # run self-attention 8 heads at a time there
+    attn_hc = None
+    if 6 * tokens * cfg.dim > 2_400_000_000:
+        import dataclasses
+
+        attn_hc = next((hh for hh in (8, 5, 4, 2)
+                        if cfg.num_heads % hh == 0
+                        and hh < cfg.num_heads), None)
+        if attn_hc:
+            cfg = dataclasses.replace(cfg, attn_head_chunk=attn_hc,
+                                      cross_attn_chunk=16384)
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
     _log(f"start {task} {quant} {size} {frame_num}f tokens={tokens} "
-         f"ffn_chunk={ffn_chunk}")
+         f"ffn_chunk={ffn_chunk} attn_head_chunk={attn_hc}")
     if quant:
         from moviigen_tpu.ops.quantization import device_init_quantized_wan
 

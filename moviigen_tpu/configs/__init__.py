@@ -38,6 +38,20 @@ class WanModelConfig:
     # buffer alone is ~4.7 GB in bf16, which is why the reference needs
     # multi-GPU SP there; chunking lets long sequences run single-chip.
     ffn_chunk: Optional[int] = None
+    # heads per self-attention group (None = all heads at once).
+    # Bounds the q/k/v/attn-out transients: at 131k tokens each is
+    # ~1.34 GB in bf16 with 40 heads — chunking 8 heads at a time cuts
+    # the attention working set ~5x, the knob (with ffn_chunk and
+    # bfloat16 residuals) that fits 14B 1080P-81f on one 16 GB chip.
+    # Full-dim qk RMS-norm stats are computed in an extra q/k projection
+    # pass (~4% step FLOPs at 131k where attention dominates).
+    attn_head_chunk: Optional[int] = None
+    # query-token chunk for cross-attention (None = whole sequence).
+    # The text context is only 512 tokens, so cross-attention has no
+    # cross-query coupling worth batching: streaming q bounds the
+    # [B, L, dim] q and [B, L, N, D] out transients (~2.7 GB at 131k),
+    # numerics identical.
+    cross_attn_chunk: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

@@ -284,12 +284,115 @@ def _qkv_heads(x, num_heads):
     return x.reshape(b, l, num_heads, d // num_heads)
 
 
+def _slice_cols_dyn(p: Params, start, cols: int) -> Params:
+    """Column-slice a (possibly quantized) linear param tree along the
+    output dim at a traced offset. Works for all leaf formats: dense
+    {'kernel'}, int8 {'q8', 'scale'[out]}, int4 {'q4'[in//2, out],
+    'scale'[in//g, out]} — every tensor's last axis is the output dim."""
+    sl = {}
+    for key in ("kernel", "q8", "q4", "scale", "bias"):
+        if key in p:
+            a = p[key]
+            sl[key] = jax.lax.dynamic_slice_in_dim(
+                a, start, cols, axis=a.ndim - 1)
+    if "a8" in p:
+        sl["a8"] = p["a8"]
+    return sl
+
+
+def _self_attention_head_chunked(p: Params, x: jnp.ndarray,
+                                 cfg: WanModelConfig, rope: RopeTables,
+                                 k_lens: Optional[jnp.ndarray],
+                                 compute_dtype,
+                                 attn_backend: str) -> jnp.ndarray:
+    """Self-attention computed ``attn_head_chunk`` heads at a time.
+
+    Same math as ``self_attention`` with bounded HBM: only one head
+    group's q/k/v/out ([B, L, hc, D]) is live at once instead of the
+    full [B, L, N, D] set (4 x 1.34 GB at 131k tokens / 40 heads).
+    ``lax.fori_loop`` (not an unrolled Python loop) for two reasons:
+    the loop carry *forces* groups to run serially so XLA's scheduler
+    cannot float every group's projections live at once, and the body
+    compiles once instead of ng times (the remote compile helper is
+    the bottleneck at flagship scale).
+
+    The reference's qk RMS-norm is over the FULL projection dim
+    (model.py:70-86,144-146), so the statistic needs all of q/k: a
+    first pass over head groups accumulates per-token sum-of-squares
+    (recomputing the q/k GEMM slices — ~4% extra step FLOPs at 131k
+    where attention dominates), then the second pass normalizes each
+    group with the shared inverse-RMS. Equal to the unchunked path up
+    to fp32 summation order of the norm statistic.
+    """
+    b, l, d = x.shape
+    hd = cfg.head_dim
+    hc = cfg.attn_head_chunk
+    cols = hc * hd
+    ng = cfg.num_heads // hc
+
+    inv_q = inv_k = None
+    if cfg.qk_norm:
+        def stat_body(g, carry):
+            ssq, ssk = carry
+            qg = _dense(_slice_cols_dyn(p["q"], g * cols, cols), x,
+                        compute_dtype)
+            kg = _dense(_slice_cols_dyn(p["k"], g * cols, cols), x,
+                        compute_dtype)
+            ssq = ssq + jnp.sum(jnp.square(qg.astype(jnp.float32)),
+                                axis=-1, keepdims=True)
+            ssk = ssk + jnp.sum(jnp.square(kg.astype(jnp.float32)),
+                                axis=-1, keepdims=True)
+            return ssq, ssk
+
+        ssq, ssk = jax.lax.fori_loop(
+            0, ng, stat_body, (jnp.zeros((b, l, 1), jnp.float32),
+                               jnp.zeros((b, l, 1), jnp.float32)))
+        inv_q = jax.lax.rsqrt(ssq / d + cfg.eps)
+        inv_k = jax.lax.rsqrt(ssk / d + cfg.eps)
+
+    def group_body(g, out):
+        qg = _dense(_slice_cols_dyn(p["q"], g * cols, cols), x,
+                    compute_dtype)
+        kg = _dense(_slice_cols_dyn(p["k"], g * cols, cols), x,
+                    compute_dtype)
+        vg = _dense(_slice_cols_dyn(p["v"], g * cols, cols), x,
+                    compute_dtype)
+        if cfg.qk_norm:
+            # rms_norm's exact dtype discipline: fp32 normalize, cast
+            # back, THEN the scale slice in the activation dtype
+            sq = jax.lax.dynamic_slice_in_dim(
+                p["norm_q"]["scale"], g * cols, cols, axis=0)
+            sk = jax.lax.dynamic_slice_in_dim(
+                p["norm_k"]["scale"], g * cols, cols, axis=0)
+            qg = (qg.astype(jnp.float32) * inv_q).astype(qg.dtype) \
+                * sq.astype(qg.dtype)
+            kg = (kg.astype(jnp.float32) * inv_k).astype(kg.dtype) \
+                * sk.astype(kg.dtype)
+        qg = rope_apply(qg.reshape(b, l, hc, hd), rope)
+        kg = rope_apply(kg.reshape(b, l, hc, hd), rope)
+        vg = vg.reshape(b, l, hc, hd)
+        og = attention(qg, kg, vg, k_lens=k_lens, backend=attn_backend,
+                       compute_dtype=compute_dtype)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, og, g * hc, axis=2)
+
+    out = jax.lax.fori_loop(
+        0, ng, group_body,
+        jnp.zeros((b, l, cfg.num_heads, hd), compute_dtype))
+    return _dense(p["o"], out.reshape(b, l, d), compute_dtype)
+
+
 def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
                    rope: RopeTables, k_lens: Optional[jnp.ndarray],
                    compute_dtype, attn_backend: str,
                    attn_fn=None) -> jnp.ndarray:
     """WanSelfAttention (ref model.py:102-156): full-dim RMS qk-norm,
     3D RoPE on q/k, non-causal attention with key-length masking."""
+    hc = cfg.attn_head_chunk
+    if (hc and attn_fn is None and 0 < hc < cfg.num_heads
+            and cfg.num_heads % hc == 0):
+        return _self_attention_head_chunked(
+            p, x, cfg, rope, k_lens, compute_dtype, attn_backend)
     q, k, v = _dense_multi([p["q"], p["k"], p["v"]], x, compute_dtype)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
@@ -308,6 +411,35 @@ def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
     return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
 
 
+def _token_stream(x: jnp.ndarray, chunk: Optional[int], body):
+    """Stream tokens through ``body`` in fixed chunks: per-token ops
+    (FFN, cross-attention) have no cross-token coupling, so results are
+    identical — only the [B, L, ·] transients shrink to [B, chunk, ·].
+
+    Implemented as ``fori_loop`` + dynamic slices rather than
+    ``lax.map``: map stacks the input as [n, B, chunk, D] and the output
+    likewise (plus layout transposes), which *adds* ~4 copies of the
+    [B, L, D] stream — measured via XLA memory_analysis at 131k tokens
+    that overhead exceeded the transient being saved. Here the only
+    extra buffer is the output (and a pad copy when chunk ∤ L)."""
+    b, l, d = x.shape
+    if not chunk or l <= chunk:
+        return body(x)
+    lp = -(-l // chunk) * chunk
+    xp = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0))) if lp != l else x
+    y_shape = jax.eval_shape(
+        body, jax.ShapeDtypeStruct((b, chunk, d), x.dtype))
+    out0 = jnp.zeros((b, lp, y_shape.shape[-1]), y_shape.dtype)
+
+    def step(i, out):
+        xc = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            out, body(xc), i * chunk, axis=1)
+
+    out = jax.lax.fori_loop(0, lp // chunk, step, out0)
+    return out[:, :l]
+
+
 def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
                     cfg: WanModelConfig, compute_dtype,
                     attn_backend: str) -> jnp.ndarray:
@@ -315,18 +447,23 @@ def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     ``context_lens=None`` at runtime (model.py:548) so no key mask —
     zero-padded text tokens are attended to after the text MLP; we keep
     that exact behavior."""
-    q = _dense(p["q"], x, compute_dtype)
     k, v = _dense_multi([p["k"], p["v"]], context, compute_dtype)
     if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
         k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
-    q = _qkv_heads(q, cfg.num_heads)
     k = _qkv_heads(k, cfg.num_heads)
     v = _qkv_heads(v, cfg.num_heads)
-    out = attention(q, k, v, k_lens=None, backend=attn_backend,
-                    compute_dtype=compute_dtype)
-    b, l = out.shape[:2]
-    return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
+
+    def body(xc):
+        q = _dense(p["q"], xc, compute_dtype)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
+        q = _qkv_heads(q, cfg.num_heads)
+        out = attention(q, k, v, k_lens=None, backend=attn_backend,
+                        compute_dtype=compute_dtype)
+        bb, ll = out.shape[:2]
+        return _dense(p["o"], out.reshape(bb, ll, cfg.dim), compute_dtype)
+
+    return _token_stream(x, cfg.cross_attn_chunk, body)
 
 
 def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
@@ -337,10 +474,6 @@ def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     are summed before the output projection."""
     ctx_img = context[:, :257]
     ctx_txt = context[:, 257:]
-    q = _dense(p["q"], x, compute_dtype)
-    if cfg.qk_norm:
-        q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
-    q = _qkv_heads(q, cfg.num_heads)
 
     def kv(pk, pv, norm_k, ctx):
         k, v = _dense_multi([pk, pv], ctx, compute_dtype)
@@ -350,13 +483,21 @@ def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
 
     k_t, v_t = kv(p["k"], p["v"], p.get("norm_k"), ctx_txt)
     k_i, v_i = kv(p["k_img"], p["v_img"], p.get("norm_k_img"), ctx_img)
-    out_t = attention(q, k_t, v_t, backend=attn_backend,
-                      compute_dtype=compute_dtype)
-    out_i = attention(q, k_i, v_i, backend=attn_backend,
-                      compute_dtype=compute_dtype)
-    out = out_t + out_i
-    b, l = out.shape[:2]
-    return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
+
+    def body(xc):
+        q = _dense(p["q"], xc, compute_dtype)
+        if cfg.qk_norm:
+            q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
+        q = _qkv_heads(q, cfg.num_heads)
+        out_t = attention(q, k_t, v_t, backend=attn_backend,
+                          compute_dtype=compute_dtype)
+        out_i = attention(q, k_i, v_i, backend=attn_backend,
+                          compute_dtype=compute_dtype)
+        out = out_t + out_i
+        bb, ll = out.shape[:2]
+        return _dense(p["o"], out.reshape(bb, ll, cfg.dim), compute_dtype)
+
+    return _token_stream(x, cfg.cross_attn_chunk, body)
 
 
 def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,

@@ -450,6 +450,25 @@ class WanT2V:
 
                 cfg = _dc.replace(
                     cfg, ffn_chunk=8192 if self.quant else 16384)
+        if not use_sp and cfg.attn_head_chunk is None:
+            # bound the q/k/v/attn-out transients too: measured on a
+            # 16 GB v5e the 14B runs 75.6k tokens unchunked but the
+            # worker dies past ~75k (99.8k/131k) — q+k+v alone is
+            # 3·2·L·dim bytes (3.1 GB at 99.8k). Chunk heads when that
+            # sum exceeds ~2.4 GB, in groups of 8 (divisor-largest ≤8).
+            if 6 * seq_len * cfg.dim > 2_400_000_000:
+                import dataclasses as _dc
+
+                hc = next((h for h in (8, 5, 4, 2)
+                           if cfg.num_heads % h == 0
+                           and h < cfg.num_heads), None)
+                if hc:
+                    cfg = _dc.replace(cfg, attn_head_chunk=hc)
+                if cfg.cross_attn_chunk is None:
+                    # stream cross-attn queries too (text kv is 512
+                    # tokens; no cross-query coupling — ~2.7 GB of
+                    # q/out transients at 131k)
+                    cfg = _dc.replace(cfg, cross_attn_chunk=16384)
 
         # CFG pairing: batched (one B=2 forward) is ~1.9x per step where
         # activations fit. At long sequence on a single chip the doubled

@@ -233,3 +233,105 @@ def test_convert_as_numpy_matches_device(ref_and_params):
     for a, b in zip(flat_d, flat_h):
         assert isinstance(b, np.ndarray)
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_attn_head_chunking_invariance():
+    """cfg.attn_head_chunk runs self-attention in head groups with a
+    two-pass full-dim qk-norm statistic; outputs must match the
+    unchunked forward up to fp32 summation order (the long-sequence
+    single-chip HBM knob, like ffn_chunk)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    assert cfg.num_heads % 2 == 0
+    params = wan_model.init_params(jax.random.PRNGKey(1), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([321.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    ref = wan_model.forward(params, x, t, ctx, cfg, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    cfg_c = dataclasses.replace(cfg, attn_head_chunk=cfg.num_heads // 2)
+    out = wan_model.forward(params, x, t, ctx, cfg_c, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_attn_head_chunking_quantized_runs():
+    """Head chunking must compose with quantized leaves (the serving
+    combination at 131k tokens: int4 weights + head groups) — the
+    column slicer handles q4/q8/scale formats."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.quantization import quantize_wan_params
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(2), cfg,
+                                   dtype=jnp.float32)
+    qparams = quantize_wan_params(params, bits=4)
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([77.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    ref = wan_model.forward(qparams, x, t, ctx, cfg, rope,
+                            attn_backend="xla")
+    cfg_c = dataclasses.replace(cfg, attn_head_chunk=cfg.num_heads // 2)
+    out = wan_model.forward(qparams, x, t, ctx, cfg_c, rope,
+                            attn_backend="xla")
+    assert np.all(np.isfinite(np.asarray(out, np.float32)))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_cross_attn_chunking_invariance():
+    """cfg.cross_attn_chunk streams query tokens through cross-attention
+    (text kv only, no cross-query coupling) — outputs must match the
+    unchunked forward exactly, including a chunk that does not divide
+    the token count."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([60.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    ref = wan_model.forward(params, x, t, ctx, cfg, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    cfg_c = dataclasses.replace(cfg, cross_attn_chunk=12)  # 32 % 12 != 0
+    out = wan_model.forward(params, x, t, ctx, cfg_c, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
