@@ -335,3 +335,38 @@ def test_cross_attn_chunking_invariance():
                             compute_dtype=jnp.float32, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_i2v_chunking_invariance():
+    """attn_head_chunk + cross_attn_chunk on the i2v variant (dual
+    text/image kv cross-attention streams queries through the same
+    _token_stream) must match the unchunked i2v forward."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = CFG.replace(model_type="i2v", in_dim=8)
+    params = wan_model.init_params(jax.random.PRNGKey(4), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    f, h, w = 3, 4, 4
+    x = jnp.asarray(rng.standard_normal((1, 4, f, h, w)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((1, 4, f, h, w)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    clip_fea = jnp.asarray(rng.standard_normal((1, 257, 1280)), jnp.float32)
+    rope = rope_3d_freqs((f, h // 2, w // 2), cfg.head_dim)
+    kw = dict(compute_dtype=jnp.float32, attn_backend="xla",
+              clip_fea=clip_fea, y=y)
+    ref = wan_model.forward(params, x, jnp.asarray([123.0]), ctx, cfg,
+                            rope, **kw)
+    cfg_c = dataclasses.replace(cfg, attn_head_chunk=cfg.num_heads // 2,
+                                cross_attn_chunk=12)
+    out = wan_model.forward(params, x, jnp.asarray([123.0]), ctx, cfg_c,
+                            rope, **kw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

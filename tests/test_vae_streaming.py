@@ -69,3 +69,19 @@ def test_decode_bf16_close_to_fp32():
     rng = float(o32.max() - o32.min())
     psnr = 10 * np.log10(rng ** 2 / float(np.mean((o32 - o16) ** 2)))
     assert psnr > 40.0, f"bf16 decode PSNR {psnr:.1f} dB too low"
+
+
+@pytest.mark.parametrize("chunk_frames", [1, 2, 5])
+def test_decode_chunk_frames_invariance(params, chunk_frames):
+    """Multi-frame decode chunks (chunk latent frames per scan step —
+    the big-HBM amortization knob, tools/bench_vae_chunks.py) are exact
+    for any chunk size dividing T'-1: the cache math carries the same
+    state regardless of step granularity."""
+    z = jnp.asarray(
+        np.random.default_rng(2).standard_normal(
+            (1, CFG.z_dim, 11, 4, 4)), jnp.float32)
+    full = np.asarray(jvae.decode(params, z, CFG))
+    stream = np.asarray(decode_streaming(params, z, CFG,
+                                         chunk_frames=chunk_frames))
+    assert stream.shape == full.shape
+    np.testing.assert_allclose(stream, full, atol=2e-5, rtol=1e-4)
