@@ -254,6 +254,36 @@ def _single(argv):
     print(json.dumps(result))
 
 
+def _wait_for_worker(budget_s: int) -> bool:
+    """Block until a tiny op completes on the worker, up to budget_s.
+
+    The relay's TPU worker can be restarting ('down': backend init
+    UNAVAILABLE) or grinding an orphaned-compile queue ('wedged': ops
+    hang) for tens of minutes — observed failure modes that would
+    otherwise burn every attempt in the chain before the worker is back.
+    Probes run in subprocesses (a failed backend init is sticky for a
+    JAX process). Returns False when the budget runs out; attempts
+    proceed anyway so a late recovery can still record a metric."""
+    from tools.tpu_health import probe
+
+    deadline = time.time() + budget_s
+    delay = 60
+    while True:
+        lat, _, status = probe(timeout_s=300)
+        if status == "ok":
+            if lat >= 60:
+                _log(f"worker degraded (tiny op {lat:.0f}s) — "
+                     "proceeding; subprocess timeouts still bound "
+                     "each attempt")
+            return True
+        remaining = deadline - time.time()
+        _log(f"worker {status}; {remaining:.0f}s of health-wait left")
+        if remaining < delay:
+            return False
+        time.sleep(delay)
+        delay = min(delay * 2, 600)
+
+
 def main(argv=None):
     import argparse
     import subprocess
@@ -283,6 +313,9 @@ def main(argv=None):
                     help="bfloat16 halves residual-stream HBM (<1%% "
                          "parity impact measured at 1.3B) — the knob "
                          "that fits 131k-token 1080P-81f on 16 GB")
+    ap.add_argument("--health_wait", type=int, default=1500,
+                    help="seconds to wait for the TPU worker to answer "
+                         "a tiny op before starting attempts (0 = off)")
     ap.add_argument("--_single", nargs=6, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
@@ -290,14 +323,25 @@ def main(argv=None):
     if args._single is not None:
         return _single(args._single)
 
-    import jax
+    if args.health_wait:
+        _wait_for_worker(args.health_wait)
 
-    dev = jax.devices()[0]
+    # HBM query in a subprocess with a timeout: against a wedged worker
+    # an in-process jax.devices() HANGS (not raises), which would stall
+    # the whole bench before the first attempt. Unknown HBM selects the
+    # conservative small-chip defaults.
     hbm_gb = None
     try:
-        stats = dev.memory_stats()
-        if stats:
-            hbm_gb = stats.get("bytes_limit", 0) / 1e9
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, '/root/repo'); import jax; "
+             "s = jax.devices()[0].memory_stats() or {}; "
+             "print(s.get('bytes_limit', 0))"],
+            capture_output=True, text=True, timeout=180)
+        if proc.returncode == 0:
+            limit = float(proc.stdout.strip().splitlines()[-1])
+            if limit:
+                hbm_gb = limit / 1e9
     except Exception:
         pass
     # The flagship 14B is the headline everywhere: bf16 on big-HBM
@@ -366,7 +410,9 @@ def main(argv=None):
                 break
             print(f"bench attempt ({t}, {q}, {size}) hit a worker "
                   f"crash; retrying once: {last_err}", file=sys.stderr)
-            time.sleep(120)  # give the relay worker time to restart
+            # wait for the restarted worker to actually answer (a fixed
+            # sleep burns the retry when the restart takes longer)
+            _wait_for_worker(600)
         print(f"bench attempt ({t}, {q}, {size}) failed: {last_err}",
               file=sys.stderr)
         time.sleep(30)  # let the relay free the dead child's memory
