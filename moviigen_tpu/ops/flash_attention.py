@@ -34,6 +34,54 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 
+# Auto block selection (block_q/block_k = None), from the v5e sweep at
+# the production token counts (docs/performance.md "Flash block sweep"):
+# a block_k that exactly DIVIDES Lk compiles out the key-pad mask (see
+# `masked` below) and, being larger than 1024, does more MXU work per
+# VMEM accumulator round-trip — measured +10% at 131,040 tokens
+# (bq=1248, bk=2016) and +2% at 75,600 (bq=1200, bk=2160) over the
+# padded 1024x1024 default. The candidate lists are exactly the blocks
+# measured to WIN on v5e: larger ones (2048+, 2080) fail to lower
+# (scoped-VMEM overflow) and smaller divisors (1120, 1200 as bk) lose
+# to the plain 1024 despite compiling the mask out.
+_BK_CANDIDATES = (2160, 2016, 1440)
+_BQ_CANDIDATES = (1248, 1200)
+
+
+def _auto_blocks(lq: int, lk: int) -> tuple:
+    """(block_q, block_k) for this shape: the first measured-good
+    divisor of Lq/Lk from the candidate lists, else the 1024 defaults.
+    All candidates are multiples of 16 (bf16 sublane tiling); divisor-
+    of-L kills both the pad copies and the in-kernel mask predicate."""
+    bk = next((c for c in _BK_CANDIDATES if lk % c == 0),
+              DEFAULT_BLOCK_K)
+    bq = next((c for c in _BQ_CANDIDATES if lq % c == 0), None)
+    # VMEM bound: bq*bk past ~2.6M fp32 logits tiles fails to lower
+    if bq is None or bq * bk > 2_600_000:
+        bq = DEFAULT_BLOCK_Q
+    return bq, bk
+
+
+def _stats_safe_bq(bq: int) -> int:
+    """The per-row softmax-stat outputs/inputs are tiled as (1, 1, bq)
+    blocks over [B·N, 1, Lq], whose LAST dim must be divisible by 128
+    (Mosaic lane tiling) — so the stats forward (ring attention) and
+    the custom-vjp fwd/bwd clamp non-conforming auto/explicit bq back
+    to the 1024 default. The plain inference forward keeps the faster
+    divisor bq; under `jax.grad` the step is dominated by the backward
+    anyway."""
+    return bq if bq % 128 == 0 else DEFAULT_BLOCK_Q
+
+
+def _vjp_safe_bk(bk: int) -> int:
+    """The fused dKV backward holds more live tiles per (bq, bk) block
+    than the forward (s, p, dp, ds plus two fp32 dk/dv accumulators) —
+    bk past 1024 overflows the 16 MB scoped-VMEM stack (measured:
+    bk=2160 needs 18.1 MB). Training steps therefore stay at the 1024
+    default; the auto divisor-bk speedup is a forward-only win."""
+    return min(bk, DEFAULT_BLOCK_K)
+
+
 _NEG_INF = -1e30
 LOG2E = 1.4426950408889634  # softmax in base 2: exp→exp2, fold log2(e) into the q prescale
 
@@ -401,7 +449,8 @@ def _flash(q, k, v, k_lens, scale, block_q, block_k):
 
 
 def _flash_vjp_fwd(q, k, v, k_lens, scale, block_q, block_k):
-    out, m, l = _flash_fwd(q, k, v, k_lens, scale, block_q, block_k,
+    out, m, l = _flash_fwd(q, k, v, k_lens, scale,
+                           _stats_safe_bq(block_q), _vjp_safe_bk(block_k),
                            return_stats=True)
     return out, (q, k, v, k_lens, out, m, l)
 
@@ -409,7 +458,7 @@ def _flash_vjp_fwd(q, k, v, k_lens, scale, block_q, block_k):
 def _flash_vjp_bwd(scale, block_q, block_k, res, g):
     q, k, v, k_lens, o, m, l = res
     dq, dk, dv = _flash_bwd(q, k, v, k_lens, o, m, l, g, scale,
-                            block_q, block_k)
+                            _stats_safe_bq(block_q), _vjp_safe_bk(block_k))
     return (dq, dk, dv, None)
 
 
@@ -419,25 +468,29 @@ _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     k_lens: Optional[jnp.ndarray] = None,
                     scale: Optional[float] = None,
-                    block_q: int = DEFAULT_BLOCK_Q,
-                    block_k: int = DEFAULT_BLOCK_K) -> jnp.ndarray:
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None) -> jnp.ndarray:
     """Fused non-causal attention. Inputs [B, L, N, D] (bf16 preferred).
-    ``k_lens=None`` selects the unmasked fast path."""
+    ``k_lens=None`` selects the unmasked fast path; ``block_q``/
+    ``block_k=None`` picks shape-adapted blocks (see ``_auto_blocks``)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    return _flash(q, k, v, k_lens, scale, block_q, block_k)
+    abq, abk = _auto_blocks(q.shape[1], k.shape[1])
+    return _flash(q, k, v, k_lens, scale, block_q or abq, block_k or abk)
 
 
 def flash_attention_with_stats(q, k, v, k_lens=None, scale=None,
-                               block_q: int = DEFAULT_BLOCK_Q,
-                               block_k: int = DEFAULT_BLOCK_K):
+                               block_q: Optional[int] = None,
+                               block_k: Optional[int] = None):
     """Forward + per-row softmax residuals: (out, m, l) with m/l shaped
     [B, Lq, N]. Used by ring attention to merge partial results across
     sequence shards (online-softmax combination)."""
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
-    out, m, l = _flash_fwd(q, k, v, k_lens, scale, block_q, block_k,
-                           return_stats=True)
+    abq, abk = _auto_blocks(q.shape[1], k.shape[1])
+    out, m, l = _flash_fwd(q, k, v, k_lens, scale,
+                           _stats_safe_bq(block_q or abq),
+                           block_k or abk, return_stats=True)
     # internal stats are base-2 (exp2 softmax); l is identical in both
     # domains, m converts by ln2
     return out, m * jnp.float32(1.0 / LOG2E), l

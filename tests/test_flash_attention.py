@@ -150,3 +150,35 @@ def test_flash_pallas_bwd_uneven_blocks():
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_auto_block_selection():
+    """Auto blocks (docs/performance.md "Flash block sweep"): divisor
+    blocks at the production token counts, 1024 defaults elsewhere, and
+    the vjp/stats clamps that keep the backward inside scoped VMEM and
+    the (1,1,bq) stat tiles lane-aligned."""
+    from moviigen_tpu.ops.flash_attention import (
+        DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q, _auto_blocks, _stats_safe_bq,
+        _vjp_safe_bk)
+
+    # production winners (measured on v5e)
+    assert _auto_blocks(75600, 75600) == (1200, 2160)
+    assert _auto_blocks(131040, 131040) == (1248, 2016)
+    # 32,760 has no multiple-of-16 divisor at all -> defaults
+    assert _auto_blocks(32760, 32760) == (DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    # cross-attention: 512 text keys -> bk stays default
+    bq, bk = _auto_blocks(75600, 512)
+    assert (bq, bk) == (1200, DEFAULT_BLOCK_K)
+    # every candidate the picker can return is a divisor (mask-free)
+    for lq, lk in [(75600, 75600), (131040, 131040), (75600, 512),
+                   (4680, 4680), (2016, 2016)]:
+        bq, bk = _auto_blocks(lq, lk)
+        assert bk == DEFAULT_BLOCK_K or lk % bk == 0
+        assert bq == DEFAULT_BLOCK_Q or lq % bq == 0
+        assert bq % 16 == 0 and bk % 16 == 0
+
+    # stats tiles need bq % 128 == 0; backward needs bk <= 1024
+    assert _stats_safe_bq(1200) == DEFAULT_BLOCK_Q
+    assert _stats_safe_bq(1024) == 1024
+    assert _vjp_safe_bk(2160) == DEFAULT_BLOCK_K
+    assert _vjp_safe_bk(512) == 512

@@ -59,6 +59,11 @@ def main():
                     default=[32760, 75600, 131040])
     ap.add_argument("--blocks", type=int, nargs="+",
                     default=[512, 1024, 2048])
+    ap.add_argument("--bqs", type=int, nargs="+", default=None,
+                    help="query-block list (cross product with --bks); "
+                         "only bk must divide L to compile out the "
+                         "key-pad mask — bq padding just wastes rows")
+    ap.add_argument("--bks", type=int, nargs="+", default=None)
     ap.add_argument("--bq", type=int, default=None)
     ap.add_argument("--bk", type=int, default=None)
     ap.add_argument("--heads", type=int, default=40,
@@ -71,6 +76,8 @@ def main():
 
     if args.bq and args.bk:
         combos = [(args.bq, args.bk)]
+    elif args.bqs and args.bks:
+        combos = list(itertools.product(args.bqs, args.bks))
     else:
         combos = list(itertools.product(args.blocks, args.blocks))
 
