@@ -196,7 +196,10 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     else:
         x = x.astype(k.dtype)
     prec = jax.lax.Precision.HIGHEST if k.dtype == jnp.float32 else None
-    return jnp.matmul(x, k, precision=prec) + p["bias"].astype(k.dtype)
+    out = jnp.matmul(x, k, precision=prec)
+    if "bias" in p:
+        out = out + p["bias"].astype(k.dtype)
+    return out
 
 
 # Above this concatenated-output size the fused multi-GEMM's [B, L, ΣN]
@@ -300,12 +303,54 @@ def _slice_cols_dyn(p: Params, start, cols: int) -> Params:
     return sl
 
 
+def _can_row_slice(p: Params, rows: int) -> bool:
+    """True when a linear leaf can be sliced along its INPUT dim in
+    ``rows``-row pieces: int4 packs two input rows per byte and groups
+    its scales along the input dim, so both must divide ``rows``."""
+    if "q4" in p:
+        cin = p["q4"].shape[0] * 2
+        gsz = cin // p["scale"].shape[0]
+        return rows % 2 == 0 and rows % gsz == 0
+    return True
+
+
+def _slice_rows_dyn(p: Params, start, rows: int) -> Params:
+    """Row-slice (input/contraction dim) of a linear param tree at a
+    traced offset: ``x_cols @ kernel[start:start+rows]``. The bias is
+    deliberately DROPPED — a row slice contributes a partial sum, and
+    the caller adds the whole-layer bias exactly once. ``start`` must
+    be a multiple of the int4 packing (2) and quant group when those
+    formats are present (see ``_can_row_slice``)."""
+    sl = {}
+    if "kernel" in p:
+        sl["kernel"] = jax.lax.dynamic_slice_in_dim(
+            p["kernel"], start, rows, axis=0)
+    if "q8" in p:
+        sl["q8"] = jax.lax.dynamic_slice_in_dim(
+            p["q8"], start, rows, axis=0)
+        sl["scale"] = p["scale"]  # int8 scales are per-OUTPUT channel
+    if "q4" in p:
+        cin = p["q4"].shape[0] * 2
+        gsz = cin // p["scale"].shape[0]
+        sl["q4"] = jax.lax.dynamic_slice_in_dim(
+            p["q4"], start // 2, rows // 2, axis=0)
+        sl["scale"] = jax.lax.dynamic_slice_in_dim(
+            p["scale"], start // gsz, rows // gsz, axis=0)
+    if "a8" in p:
+        sl["a8"] = p["a8"]
+    return sl
+
+
 def _self_attention_head_chunked(p: Params, x: jnp.ndarray,
                                  cfg: WanModelConfig, rope: RopeTables,
                                  k_lens: Optional[jnp.ndarray],
                                  compute_dtype,
                                  attn_backend: str) -> jnp.ndarray:
-    """Self-attention computed ``attn_head_chunk`` heads at a time.
+    """Self-attention computed ``attn_head_chunk`` heads at a time,
+    returning the PRE-o-projection accumulator [B, L, dim] (heads
+    concatenated). The caller applies ``p['o']`` — either whole
+    (``self_attention``) or streamed into the residual in token chunks
+    (``attention_block``'s long-sequence path).
 
     Same math as ``self_attention`` with bounded HBM: only one head
     group's q/k/v/out ([B, L, hc, D]) is live at once instead of the
@@ -330,56 +375,122 @@ def _self_attention_head_chunked(p: Params, x: jnp.ndarray,
     cols = hc * hd
     ng = cfg.num_heads // hc
 
-    inv_q = inv_k = None
-    if cfg.qk_norm:
-        def stat_body(g, carry):
-            ssq, ssk = carry
-            qg = _dense(_slice_cols_dyn(p["q"], g * cols, cols), x,
-                        compute_dtype)
-            kg = _dense(_slice_cols_dyn(p["k"], g * cols, cols), x,
-                        compute_dtype)
-            ssq = ssq + jnp.sum(jnp.square(qg.astype(jnp.float32)),
-                                axis=-1, keepdims=True)
-            ssk = ssk + jnp.sum(jnp.square(kg.astype(jnp.float32)),
-                                axis=-1, keepdims=True)
-            return ssq, ssk
-
-        ssq, ssk = jax.lax.fori_loop(
-            0, ng, stat_body, (jnp.zeros((b, l, 1), jnp.float32),
-                               jnp.zeros((b, l, 1), jnp.float32)))
-        inv_q = jax.lax.rsqrt(ssq / d + cfg.eps)
-        inv_k = jax.lax.rsqrt(ssk / d + cfg.eps)
+    inv_q, inv_k = _qk_fulldim_stats(p, x, cfg, compute_dtype, ng, cols)
 
     def group_body(g, out):
-        qg = _dense(_slice_cols_dyn(p["q"], g * cols, cols), x,
-                    compute_dtype)
-        kg = _dense(_slice_cols_dyn(p["k"], g * cols, cols), x,
-                    compute_dtype)
-        vg = _dense(_slice_cols_dyn(p["v"], g * cols, cols), x,
-                    compute_dtype)
-        if cfg.qk_norm:
-            # rms_norm's exact dtype discipline: fp32 normalize, cast
-            # back, THEN the scale slice in the activation dtype
-            sq = jax.lax.dynamic_slice_in_dim(
-                p["norm_q"]["scale"], g * cols, cols, axis=0)
-            sk = jax.lax.dynamic_slice_in_dim(
-                p["norm_k"]["scale"], g * cols, cols, axis=0)
-            qg = (qg.astype(jnp.float32) * inv_q).astype(qg.dtype) \
-                * sq.astype(qg.dtype)
-            kg = (kg.astype(jnp.float32) * inv_k).astype(kg.dtype) \
-                * sk.astype(kg.dtype)
-        qg = rope_apply(qg.reshape(b, l, hc, hd), rope)
-        kg = rope_apply(kg.reshape(b, l, hc, hd), rope)
-        vg = vg.reshape(b, l, hc, hd)
-        og = attention(qg, kg, vg, k_lens=k_lens, backend=attn_backend,
-                       compute_dtype=compute_dtype)
+        og = _group_attention(p, x, g, cols, hc, inv_q, inv_k, cfg,
+                              rope, k_lens, compute_dtype, attn_backend)
         return jax.lax.dynamic_update_slice_in_dim(
             out, og, g * hc, axis=2)
 
     out = jax.lax.fori_loop(
         0, ng, group_body,
         jnp.zeros((b, l, cfg.num_heads, hd), compute_dtype))
-    return _dense(p["o"], out.reshape(b, l, d), compute_dtype)
+    return out.reshape(b, l, d)
+
+
+def _qk_fulldim_stats(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
+                      compute_dtype, ng: int, cols: int):
+    """Per-token inverse-RMS of the FULL q/k projections (the
+    reference's qk-norm statistic spans all heads, model.py:70-86),
+    accumulated a head group at a time — recomputes the q/k GEMM
+    slices (~4% step FLOPs at 131k where attention dominates) instead
+    of holding full q/k live."""
+    if not cfg.qk_norm:
+        return None, None
+    b, l, d = x.shape
+
+    def stat_body(g, carry):
+        ssq, ssk = carry
+        qg = _dense(_slice_cols_dyn(p["q"], g * cols, cols), x,
+                    compute_dtype)
+        kg = _dense(_slice_cols_dyn(p["k"], g * cols, cols), x,
+                    compute_dtype)
+        ssq = ssq + jnp.sum(jnp.square(qg.astype(jnp.float32)),
+                            axis=-1, keepdims=True)
+        ssk = ssk + jnp.sum(jnp.square(kg.astype(jnp.float32)),
+                            axis=-1, keepdims=True)
+        return ssq, ssk
+
+    ssq, ssk = jax.lax.fori_loop(
+        0, ng, stat_body, (jnp.zeros((b, l, 1), jnp.float32),
+                           jnp.zeros((b, l, 1), jnp.float32)))
+    return (jax.lax.rsqrt(ssq / d + cfg.eps),
+            jax.lax.rsqrt(ssk / d + cfg.eps))
+
+
+def _group_attention(p: Params, x: jnp.ndarray, g, cols: int, hc: int,
+                     inv_q, inv_k, cfg: WanModelConfig,
+                     rope: RopeTables, k_lens, compute_dtype,
+                     attn_backend: str) -> jnp.ndarray:
+    """One head group's q/k/v projections + qk-norm + RoPE + attention
+    → [B, L, hc, head_dim] (pre-o-projection)."""
+    b, l, _ = x.shape
+    hd = cfg.head_dim
+    qg = _dense(_slice_cols_dyn(p["q"], g * cols, cols), x, compute_dtype)
+    kg = _dense(_slice_cols_dyn(p["k"], g * cols, cols), x, compute_dtype)
+    vg = _dense(_slice_cols_dyn(p["v"], g * cols, cols), x, compute_dtype)
+    if cfg.qk_norm:
+        # rms_norm's exact dtype discipline: fp32 normalize, cast
+        # back, THEN the scale slice in the activation dtype
+        sq = jax.lax.dynamic_slice_in_dim(
+            p["norm_q"]["scale"], g * cols, cols, axis=0)
+        sk = jax.lax.dynamic_slice_in_dim(
+            p["norm_k"]["scale"], g * cols, cols, axis=0)
+        qg = (qg.astype(jnp.float32) * inv_q).astype(qg.dtype) \
+            * sq.astype(qg.dtype)
+        kg = (kg.astype(jnp.float32) * inv_k).astype(kg.dtype) \
+            * sk.astype(kg.dtype)
+    qg = rope_apply(qg.reshape(b, l, hc, hd), rope)
+    kg = rope_apply(kg.reshape(b, l, hc, hd), rope)
+    vg = vg.reshape(b, l, hc, hd)
+    return attention(qg, kg, vg, k_lens=k_lens, backend=attn_backend,
+                     compute_dtype=compute_dtype)
+
+
+def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
+                             cfg: WanModelConfig, rope: RopeTables,
+                             k_lens, compute_dtype, attn_backend: str,
+                             e2: jnp.ndarray,
+                             chunk: int) -> jnp.ndarray:
+    """Head-group self-attention whose o-projection streams straight
+    into the residual: ``x += (attn_g @ Wo[rows_g]) * e2`` per group,
+    token-chunked in place. Removes both the [B, L, N, D] accumulator
+    and its fori double-buffer (2 x 1.34 GB at 131k tokens) — with the
+    in-place stage streams this is what fits 14B 1080P-81f on 16 GB.
+    The o-projection's row slices partial-sum over groups (identical
+    contraction, fp32 adds reordered); the bias is added exactly once
+    at the end. ``x`` is the residual, ``xm`` the AdaLN-modulated
+    input driving the projections."""
+    b, l, d = xm.shape
+    hc = cfg.attn_head_chunk
+    cols = hc * cfg.head_dim
+    ng = cfg.num_heads // hc
+
+    inv_q, inv_k = _qk_fulldim_stats(p, xm, cfg, compute_dtype, ng, cols)
+
+    def group_body(g, xb):
+        og = _group_attention(p, xm, g, cols, hc, inv_q, inv_k, cfg,
+                              rope, k_lens, compute_dtype, attn_backend)
+        og = og.reshape(b, l, cols)
+        wo = _slice_rows_dyn(p["o"], g * cols, cols)
+        return _stream_residual(
+            xb, chunk,
+            lambda xc, oc: _dense(wo, oc, compute_dtype)
+            .astype(jnp.float32) * e2,
+            aux=og)
+
+    x = jax.lax.fori_loop(0, ng, group_body, x)
+    if "bias" in p["o"]:
+        x = (x.astype(jnp.float32)
+             + p["o"]["bias"].astype(jnp.float32) * e2).astype(x.dtype)
+    return x
+
+
+def _head_chunked(cfg: WanModelConfig, attn_fn) -> bool:
+    hc = cfg.attn_head_chunk
+    return bool(hc and attn_fn is None and 0 < hc < cfg.num_heads
+                and cfg.num_heads % hc == 0)
 
 
 def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
@@ -388,11 +499,10 @@ def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
                    attn_fn=None) -> jnp.ndarray:
     """WanSelfAttention (ref model.py:102-156): full-dim RMS qk-norm,
     3D RoPE on q/k, non-causal attention with key-length masking."""
-    hc = cfg.attn_head_chunk
-    if (hc and attn_fn is None and 0 < hc < cfg.num_heads
-            and cfg.num_heads % hc == 0):
-        return _self_attention_head_chunked(
+    if _head_chunked(cfg, attn_fn):
+        acc = _self_attention_head_chunked(
             p, x, cfg, rope, k_lens, compute_dtype, attn_backend)
+        return _dense(p["o"], acc, compute_dtype)
     q, k, v = _dense_multi([p["q"], p["k"], p["v"]], x, compute_dtype)
     if cfg.qk_norm:
         q = rms_norm(q, p["norm_q"]["scale"], eps=cfg.eps)
@@ -440,19 +550,70 @@ def _token_stream(x: jnp.ndarray, chunk: Optional[int], body):
     return out[:, :l]
 
 
-def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
-                    cfg: WanModelConfig, compute_dtype,
-                    attn_backend: str) -> jnp.ndarray:
-    """WanT2VCrossAttention (ref model.py:159-181). The reference passes
-    ``context_lens=None`` at runtime (model.py:548) so no key mask —
-    zero-padded text tokens are attended to after the text MLP; we keep
-    that exact behavior."""
+def _divisor_chunk(l: int, chunk: int) -> int:
+    """Largest chunk <= ``chunk`` that divides ``l`` exactly (so the
+    in-place residual stream needs no pad copy and no tail program)."""
+    return l // -(-l // chunk)
+
+
+def _stream_residual(x: jnp.ndarray, chunk: Optional[int], delta,
+                     aux: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """In-place residual update ``x += delta(x_chunk[, aux_chunk])``
+    streamed over token chunks.
+
+    The key memory property vs ``_token_stream`` + add: the fori_loop
+    carry IS the residual buffer — each iteration reads a [B, c, D]
+    chunk, computes the stage's contribution, and writes the updated
+    chunk back into the same buffer. A whole AdaLN stage (norm →
+    modulate → GEMMs → scale → residual add) therefore keeps ONE
+    persistent [B, L, D] array live instead of three-to-four (the
+    modulated input, the stage output, and the new residual) — at 131k
+    tokens each of those is 1.34 GB, and this collapse is what fits
+    the 14B 1080P-81f forward on a 16 GB chip. Per-token math
+    (LayerNorm over D, modulation broadcasts, row-blocked GEMMs) is
+    identical to the unstreamed path bit-for-bit.
+
+    ``delta`` computes in fp32 (modulation discipline, ref
+    model.py:292-302); the add runs fp32 and writes back x.dtype.
+    ``aux``: optional [B, L, ·] tensor sliced in lockstep with x
+    (the self-attention accumulator for the streamed o-projection).
+    """
+    b, l, d = x.shape
+
+    def upd(xc, auxc):
+        dv = delta(xc) if auxc is None else delta(xc, auxc)
+        return (xc.astype(jnp.float32) + dv.astype(jnp.float32)) \
+            .astype(x.dtype)
+
+    if not chunk or l <= chunk:
+        return upd(x, aux)
+
+    c = _divisor_chunk(l, chunk)
+
+    def step(i, xb):
+        xc = jax.lax.dynamic_slice_in_dim(xb, i * c, c, axis=1)
+        auxc = None if aux is None else \
+            jax.lax.dynamic_slice_in_dim(aux, i * c, c, axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            xb, upd(xc, auxc), i * c, axis=1)
+
+    return jax.lax.fori_loop(0, l // c, step, x)
+
+
+def _cross_kv(p: Params, context: jnp.ndarray, cfg: WanModelConfig,
+              compute_dtype):
+    """Text k/v for cross-attention — computed once per block over the
+    (512-token) context, tiny next to the query-side tensors."""
     k, v = _dense_multi([p["k"], p["v"]], context, compute_dtype)
     if cfg.qk_norm:
         k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
-    k = _qkv_heads(k, cfg.num_heads)
-    v = _qkv_heads(v, cfg.num_heads)
+    return _qkv_heads(k, cfg.num_heads), _qkv_heads(v, cfg.num_heads)
 
+
+def _cross_q_body(p: Params, k, v, cfg: WanModelConfig, compute_dtype,
+                  attn_backend: str):
+    """Per-query-chunk cross-attention body (q-proj → attend → o-proj);
+    the text context has no cross-query coupling, so chunked == whole."""
     def body(xc):
         q = _dense(p["q"], xc, compute_dtype)
         if cfg.qk_norm:
@@ -463,15 +624,25 @@ def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
         bb, ll = out.shape[:2]
         return _dense(p["o"], out.reshape(bb, ll, cfg.dim), compute_dtype)
 
+    return body
+
+
+def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
+                    cfg: WanModelConfig, compute_dtype,
+                    attn_backend: str) -> jnp.ndarray:
+    """WanT2VCrossAttention (ref model.py:159-181). The reference passes
+    ``context_lens=None`` at runtime (model.py:548) so no key mask —
+    zero-padded text tokens are attended to after the text MLP; we keep
+    that exact behavior."""
+    k, v = _cross_kv(p, context, cfg, compute_dtype)
+    body = _cross_q_body(p, k, v, cfg, compute_dtype, attn_backend)
     return _token_stream(x, cfg.cross_attn_chunk, body)
 
 
-def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
-                        cfg: WanModelConfig, compute_dtype,
-                        attn_backend: str) -> jnp.ndarray:
-    """WanI2VCrossAttention (ref model.py:184-225): first 257 context
-    tokens are CLIP image tokens with their own k/v projections; outputs
-    are summed before the output projection."""
+def _i2v_cross_kv(p: Params, context: jnp.ndarray, cfg: WanModelConfig,
+                  compute_dtype):
+    """Text + CLIP-image k/v pairs (first 257 context tokens are image
+    tokens with their own projections, ref model.py:206-207)."""
     ctx_img = context[:, :257]
     ctx_txt = context[:, 257:]
 
@@ -483,7 +654,14 @@ def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
 
     k_t, v_t = kv(p["k"], p["v"], p.get("norm_k"), ctx_txt)
     k_i, v_i = kv(p["k_img"], p["v_img"], p.get("norm_k_img"), ctx_img)
+    return k_t, v_t, k_i, v_i
 
+
+def _i2v_cross_q_body(p: Params, k_t, v_t, k_i, v_i,
+                      cfg: WanModelConfig, compute_dtype,
+                      attn_backend: str):
+    """Per-query-chunk i2v cross-attention body: text and image
+    attention outputs are summed before the output projection."""
     def body(xc):
         q = _dense(p["q"], xc, compute_dtype)
         if cfg.qk_norm:
@@ -497,6 +675,18 @@ def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
         bb, ll = out.shape[:2]
         return _dense(p["o"], out.reshape(bb, ll, cfg.dim), compute_dtype)
 
+    return body
+
+
+def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
+                        cfg: WanModelConfig, compute_dtype,
+                        attn_backend: str) -> jnp.ndarray:
+    """WanI2VCrossAttention (ref model.py:184-225): first 257 context
+    tokens are CLIP image tokens with their own k/v projections; outputs
+    are summed before the output projection."""
+    k_t, v_t, k_i, v_i = _i2v_cross_kv(p, context, cfg, compute_dtype)
+    body = _i2v_cross_q_body(p, k_t, v_t, k_i, v_i, cfg, compute_dtype,
+                             attn_backend)
     return _token_stream(x, cfg.cross_attn_chunk, body)
 
 
@@ -522,33 +712,70 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     # compute_dtype — under reference autocast the Linear input is cast
     # the same way, and at 75k tokens the difference is 1.4 GB of HBM
     # per site.
+    # Residual adds compute in fp32 but write back the incoming
+    # residual dtype: with a bf16 residual stream the promotion
+    # `bf16 + fp32 -> fp32` would otherwise pin a persistent fp32
+    # [B, L, D] copy of the stream for the REST of the block (2.7 GB
+    # at 131k tokens, x3 sites) — XLA instead fuses the fp32 multiply-
+    # add chain into one elementwise kernel writing rdt. For the
+    # default fp32 stream the casts are no-ops (bit-identical).
+    #
+    # At long sequence each stage additionally streams its ENTIRE
+    # norm→modulate→GEMM→scale→add pipeline in place through
+    # ``_stream_residual`` (per-token math, numerics unchanged), so a
+    # stage holds one persistent [B, L, D] buffer instead of 3-4 — the
+    # collapse that fits 14B 1080P-81f (131k tokens) on a 16 GB chip.
+    rdt = x.dtype
+
+    # self-attention with AdaLN scale/shift (model.py:298-302)
     xm = (layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[1])
           + e[0]).astype(compute_dtype)
-    y = self_attention(bp["self_attn"], xm, cfg, rope, k_lens,
-                       compute_dtype, attn_backend, attn_fn=self_attn_fn)
-    x = x + y.astype(jnp.float32) * e[2]
-
-    # cross-attention (model.py:305-306)
-    if cfg.cross_attn_norm:
-        xc = layer_norm(x, bp["norm3"]["scale"], bp["norm3"]["bias"],
-                        eps=1e-6, keep_fp32=True)
+    sa = bp["self_attn"]
+    if (cfg.cross_attn_chunk and _head_chunked(cfg, self_attn_fn)
+            and _can_row_slice(
+                sa["o"], cfg.attn_head_chunk * cfg.head_dim)):
+        x = _self_attention_streamed(
+            sa, x, xm, cfg, rope, k_lens, compute_dtype, attn_backend,
+            e[2], cfg.cross_attn_chunk)
     else:
-        xc = x
-    xc = xc.astype(compute_dtype)
+        y = self_attention(sa, xm, cfg, rope, k_lens,
+                           compute_dtype, attn_backend,
+                           attn_fn=self_attn_fn)
+        x = (x.astype(jnp.float32)
+             + y.astype(jnp.float32) * e[2]).astype(rdt)
+
+    # cross-attention (model.py:305-306): text k/v computed once (512
+    # tokens); the query side (norm3 → q → attend → o → add) is
+    # per-token and streams in place when cross_attn_chunk is set
+    ca_p = bp["cross_attn"]
     if cfg.model_type == "i2v":
-        ca = i2v_cross_attention(bp["cross_attn"], xc, context, cfg,
-                                 compute_dtype, attn_backend)
+        q_body = _i2v_cross_q_body(
+            ca_p, *_i2v_cross_kv(ca_p, context, cfg, compute_dtype),
+            cfg, compute_dtype, attn_backend)
     else:
-        ca = cross_attention(bp["cross_attn"], xc, context, cfg,
-                             compute_dtype, attn_backend)
-    x = x + ca.astype(jnp.float32)
+        k, v = _cross_kv(ca_p, context, cfg, compute_dtype)
+        q_body = _cross_q_body(ca_p, k, v, cfg, compute_dtype,
+                               attn_backend)
 
-    # FFN with AdaLN (model.py:307-309)
-    xf = (layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[4])
-          + e[3]).astype(compute_dtype)
-    y = _ffn(bp["ffn"], xf, cfg, compute_dtype)
-    x = x + y.astype(jnp.float32) * e[5]
-    return x
+    def cross_delta(xc):
+        if cfg.cross_attn_norm:
+            xn = layer_norm(xc, bp["norm3"]["scale"],
+                            bp["norm3"]["bias"], eps=1e-6,
+                            keep_fp32=True)
+        else:
+            xn = xc
+        return q_body(xn.astype(compute_dtype))
+
+    x = _stream_residual(x, cfg.cross_attn_chunk, cross_delta)
+
+    # FFN with AdaLN (model.py:307-309), streamed likewise
+    def ffn_delta(xc):
+        xf = (layer_norm(xc, eps=1e-6, keep_fp32=True) * (1 + e[4])
+              + e[3]).astype(compute_dtype)
+        y = _ffn(bp["ffn"], xf, cfg, compute_dtype)
+        return y.astype(jnp.float32) * e[5]
+
+    return _stream_residual(x, cfg.ffn_chunk, ffn_delta)
 
 
 def _ffn(p: Params, xf: jnp.ndarray, cfg: WanModelConfig,
@@ -556,27 +783,20 @@ def _ffn(p: Params, xf: jnp.ndarray, cfg: WanModelConfig,
     """fc1 → GELU-tanh → fc2 (ref model.py:267-269,307-309).
 
     With ``cfg.ffn_chunk`` set, tokens stream through the FFN in chunks
-    via ``lax.map`` so the [B, chunk, ffn_dim] transient replaces the
-    [B, L, ffn_dim] one — per-token arithmetic is unchanged (the FFN has
-    no cross-token coupling), so numerics are identical."""
-    chunk = cfg.ffn_chunk
-    if not chunk or xf.shape[1] <= chunk:
-        h = _dense(p["fc1"], xf, compute_dtype)
+    (``_token_stream``: fori_loop + dynamic slices) so the
+    [B, chunk, ffn_dim] transient replaces the [B, L, ffn_dim] one —
+    per-token arithmetic is unchanged (the FFN has no cross-token
+    coupling), so numerics are identical. An earlier ``lax.map``
+    version stacked an extra input copy AND the stacked output
+    ([n, B, chunk, D] each, ~1.3 GB apiece at 131k tokens) on top of
+    the streamed transient; fori + in-place dynamic_update_slice keeps
+    only the output buffer."""
+    def body(xc):
+        h = _dense(p["fc1"], xc, compute_dtype)
         h = jax.nn.gelu(h, approximate=True)  # GELU-tanh (model.py:268)
         return _dense(p["fc2"], h, compute_dtype)
 
-    b, l, d = xf.shape
-    lp = -(-l // chunk) * chunk
-    xp = jnp.pad(xf, ((0, 0), (0, lp - l), (0, 0))) if lp != l else xf
-    xs = xp.reshape(b, lp // chunk, chunk, d).transpose(1, 0, 2, 3)
-
-    def body(xc):
-        h = _dense(p["fc1"], xc, compute_dtype)
-        h = jax.nn.gelu(h, approximate=True)
-        return _dense(p["fc2"], h, compute_dtype)
-
-    ys = jax.lax.map(body, xs)
-    return ys.transpose(1, 0, 2, 3).reshape(b, lp, -1)[:, :l]
+    return _token_stream(xf, cfg.ffn_chunk, body)
 
 
 # --------------------------------------------------------------------------
@@ -692,11 +912,22 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
 
 def head_output(params: Params, xr: jnp.ndarray, e: jnp.ndarray,
                 cfg: WanModelConfig) -> jnp.ndarray:
-    """Modulated output head (ref model.py:316-343), all-fp32."""
+    """Modulated output head (ref model.py:316-343), all-fp32.
+
+    Streamed over token chunks when ``cfg.ffn_chunk`` is set: the
+    modulated fp32 [B, L, D] input (2.7 GB at 131k tokens) would
+    otherwise be the single largest live buffer of the whole forward
+    after the stages stream in place; the head output is only
+    [B, L, pt·ph·pw·out_dim] (64 wide), so streaming is pure savings.
+    Per-token math — numerics identical."""
     hm = params["head"]["modulation"].astype(jnp.float32)[None] + e[:, None, :]
-    xh = layer_norm(xr, eps=1e-6, keep_fp32=True) \
-        * (1 + hm[:, 1][:, None, :]) + hm[:, 0][:, None, :]
-    return _dense(params["head"]["head"], xh, jnp.float32)
+
+    def body(xc):
+        xh = layer_norm(xc, eps=1e-6, keep_fp32=True) \
+            * (1 + hm[:, 1][:, None, :]) + hm[:, 0][:, None, :]
+        return _dense(params["head"]["head"], xh, jnp.float32)
+
+    return _token_stream(xr, cfg.ffn_chunk, body)
 
 
 def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,

@@ -370,3 +370,47 @@ def test_i2v_chunking_invariance():
                             rope, **kw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_fully_streamed_stages_invariance():
+    """The flagship long-sequence serving combination — attn_head_chunk
+    + cross_attn_chunk + ffn_chunk all set — routes every stage through
+    the in-place residual streams (_stream_residual: streamed
+    o-projection row-slices, streamed cross-attention, streamed FFN,
+    streamed head). Must match the unchunked forward up to fp32
+    summation order."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(1), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([321.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    ref = wan_model.forward(params, x, t, ctx, cfg, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    # 32 tokens; chunk=12 does not divide -> _divisor_chunk picks 8
+    cfg_c = dataclasses.replace(cfg, attn_head_chunk=cfg.num_heads // 2,
+                                cross_attn_chunk=12, ffn_chunk=12)
+    out = wan_model.forward(params, x, t, ctx, cfg_c, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+    # bf16 residual stream composes with the streamed stages
+    outb = wan_model.forward(params, x, t, ctx, cfg_c, rope,
+                             compute_dtype=jnp.float32,
+                             attn_backend="xla",
+                             residual_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(outb), np.asarray(ref),
+                               atol=0.12, rtol=0.05)
