@@ -16,10 +16,20 @@ vs Ulysses: ring never materializes the full sequence on any chip
 (Ulysses holds full-L K/V with N/sp heads), so it is the mode for
 sequences whose per-chip KV exceeds memory — the 131k-token 1080p case —
 at the cost of sp−1 rotations.
+
+Training (jax.grad) is supported on both backends. The Pallas path is a
+ring-level ``jax.custom_vjp``: the forward is the stats loop below; the
+backward rotates (k, v, dk, dv) together around the ring and calls the
+fused Pallas backward kernels (``ops/flash_attention._flash_bwd``) per
+(q-shard, kv-shard) pair with the *global* softmax stats — the flash
+backward decomposes exactly over KV blocks given global (m, l, Δ), so
+per-pair partials sum to the true gradient (reference counterpart:
+training SP must backprop, ``scripts/train/model/model_seq.py:231-256``).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -51,51 +61,35 @@ def _local_attention_with_stats(q, k, v, k_lens, scale, backend,
             l.transpose(0, 2, 1))
 
 
-def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                        k_lens: Optional[jnp.ndarray],
-                        axis_name: str = "seq",
-                        sp_size: Optional[int] = None,
-                        scale: Optional[float] = None,
-                        attn_backend: str = "auto",
-                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
-    """q/k/v: [B, L/sp, N, D] sharded over ``axis_name``; returns the
-    attention output for the local query shard against the full sequence.
+def _local_klens(k_lens, src, shard):
+    """Global per-batch key length → valid length inside the shard that
+    originated on rank ``src`` (local window [src·shard, (src+1)·shard))."""
+    if k_lens is None:
+        return None
+    return jnp.clip(k_lens - src * shard, 0, shard).astype(jnp.int32)
 
-    ``k_lens`` is the *global* key length per batch element (padding mask
-    for the padded tail of the sequence).
-    """
-    if scale is None:
-        scale = float(q.shape[-1]) ** -0.5
-    if attn_backend == "auto":
-        attn_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
 
+def _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale, backend,
+                   compute_dtype):
+    """The rotating-KV forward; returns (o fp32, m, l) with global
+    (natural-log domain) softmax stats for the local query shard."""
     my_idx = jax.lax.axis_index(axis_name)
     shard = k.shape[1]
     b = q.shape[0]
 
-    q = (q * jnp.asarray(1.0, q.dtype)).astype(compute_dtype)
-    k_blk = k.astype(compute_dtype)
-    v_blk = v.astype(compute_dtype)
-
+    k_blk = k
+    v_blk = v
     m_acc = jnp.full((b, q.shape[1], q.shape[2]), -1e30, jnp.float32)
     l_acc = jnp.zeros_like(m_acc)
     o_acc = jnp.zeros((*q.shape[:3], q.shape[3]), jnp.float32)
 
-    assert sp_size is not None, "pass sp_size (the seq-axis size)"
-    n_static = sp_size
-    perm = [(i, (i + 1) % n_static) for i in range(n_static)]
+    perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
 
-    for step in range(n_static):
-        src = (my_idx - step) % n_static      # origin rank of current blk
-        if k_lens is not None:
-            # global k_len → local window [src·shard, (src+1)·shard)
-            local_klens = jnp.clip(k_lens - src * shard, 0, shard) \
-                .astype(jnp.int32)
-        else:
-            local_klens = None
+    for step in range(sp_size):
+        src = (my_idx - step) % sp_size       # origin rank of current blk
         o_p, m_p, l_p = _local_attention_with_stats(
-            q, k_blk, v_blk, local_klens, scale, attn_backend,
-            compute_dtype)
+            q, k_blk, v_blk, _local_klens(k_lens, src, shard), scale,
+            backend, compute_dtype)
 
         # online-softmax merge of the partial (o_p normalized by l_p)
         m_new = jnp.maximum(m_acc, m_p)
@@ -108,8 +102,99 @@ def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         o_acc = o_acc / l_safe[..., None]
         m_acc = m_new
 
-        if step < n_static - 1:
+        if step < sp_size - 1:
             k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
             v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
 
-    return o_acc.astype(compute_dtype)
+    return o_acc, m_acc, l_acc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _ring_flash(q, k, v, k_lens, axis_name, sp_size, scale):
+    o, _, _ = _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale,
+                             "pallas", q.dtype)
+    return o.astype(q.dtype)
+
+
+def _ring_flash_fwd(q, k, v, k_lens, axis_name, sp_size, scale):
+    o, m, l = _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale,
+                             "pallas", q.dtype)
+    return o.astype(q.dtype), (q, k, v, k_lens, o, m, l)
+
+
+def _ring_flash_bwd(axis_name, sp_size, scale, res, g):
+    """Ring backward: rotate (k, v, dk, dv) together; each step the local
+    q contributes to the currently-held shard's dk/dv via the fused
+    Pallas backward with GLOBAL (m, l) — after sp rotations every dk/dv
+    accumulator is back on its home rank. dq accumulates locally."""
+    from ..ops.flash_attention import (DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q,
+                                       LOG2E, _flash_bwd)
+
+    q, k, v, k_lens, o, m, l = res
+    my_idx = jax.lax.axis_index(axis_name)
+    shard = k.shape[1]
+    # _flash_bwd consumes base-2-domain row maxima (its logits carry the
+    # folded log2(e)); the fwd loop merged in the natural domain
+    m2 = m * jnp.float32(LOG2E)
+    o = o.astype(q.dtype)
+    do = g.astype(q.dtype)
+
+    dq_acc = jnp.zeros(q.shape, jnp.float32)
+    dk_acc = jnp.zeros(k.shape, jnp.float32)
+    dv_acc = jnp.zeros(v.shape, jnp.float32)
+    k_blk, v_blk = k, v
+    perm = [(i, (i + 1) % sp_size) for i in range(sp_size)]
+
+    for step in range(sp_size):
+        src = (my_idx - step) % sp_size
+        dq_p, dk_p, dv_p = _flash_bwd(
+            q, k_blk, v_blk, _local_klens(k_lens, src, shard),
+            o, m2, l, do, scale, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+        dq_acc = dq_acc + dq_p.astype(jnp.float32)
+        dk_acc = dk_acc + dk_p.astype(jnp.float32)
+        dv_acc = dv_acc + dv_p.astype(jnp.float32)
+        # rotate the accumulators WITH their kv shard; the final rotation
+        # (kv no longer needed) brings every dk/dv home
+        dk_acc = jax.lax.ppermute(dk_acc, axis_name, perm)
+        dv_acc = jax.lax.ppermute(dv_acc, axis_name, perm)
+        if step < sp_size - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    return (dq_acc.astype(q.dtype), dk_acc.astype(k.dtype),
+            dv_acc.astype(v.dtype), None)
+
+
+_ring_flash.defvjp(_ring_flash_fwd, _ring_flash_bwd)
+
+
+def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                        k_lens: Optional[jnp.ndarray],
+                        axis_name: str = "seq",
+                        sp_size: Optional[int] = None,
+                        scale: Optional[float] = None,
+                        attn_backend: str = "auto",
+                        compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """q/k/v: [B, L/sp, N, D] sharded over ``axis_name``; returns the
+    attention output for the local query shard against the full sequence.
+
+    ``k_lens`` is the *global* key length per batch element (padding mask
+    for the padded tail of the sequence). Differentiable on both backends
+    (Pallas via the ring-level custom_vjp above; jnp via autodiff).
+    """
+    if scale is None:
+        scale = float(q.shape[-1]) ** -0.5
+    if attn_backend == "auto":
+        attn_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    assert sp_size is not None, "pass sp_size (the seq-axis size)"
+
+    q = q.astype(compute_dtype)
+    k = k.astype(compute_dtype)
+    v = v.astype(compute_dtype)
+
+    if attn_backend == "pallas":
+        return _ring_flash(q, k, v, k_lens, axis_name, sp_size, scale)
+
+    o, _, _ = _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale,
+                             attn_backend, compute_dtype)
+    return o.astype(compute_dtype)

@@ -1,0 +1,162 @@
+"""Differentiable ring attention — the Pallas training path.
+
+The reference's training SP must backprop (``scripts/train/model/
+model_seq.py:231-256``). Here the Pallas ring path is a ring-level
+``jax.custom_vjp`` (``parallel/ring.py``); these tests run the actual
+Pallas kernels in interpreter mode on the 8-device CPU mesh and compare
+gradients against autodiff through the XLA oracle backend.
+"""
+
+import functools
+from unittest import mock
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from moviigen_tpu.parallel.mesh import make_mesh
+from moviigen_tpu.parallel.ring import ring_self_attention
+
+# keep a reference to the original before monkeypatching
+from jax.experimental import pallas as pl  # noqa: E402
+
+_orig_pallas_call = pl.pallas_call
+
+
+def _interp():
+    """Force Pallas interpreter mode (CPU) inside ops.flash_attention."""
+    from moviigen_tpu.ops import flash_attention as fa
+
+    return mock.patch.object(
+        fa.pl, "pallas_call",
+        functools.partial(_orig_pallas_call, interpret=True))
+
+
+def _rand_qkv(b, l, n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, l, n, d)), jnp.float32)
+    return q, k, v
+
+
+def _ring_grads(q, k, v, k_lens, mesh, sp, backend):
+    def inner(q, k, v, kl):
+        return ring_self_attention(
+            q, k, v, kl, axis_name="seq", sp_size=sp,
+            attn_backend=backend, compute_dtype=jnp.float32)
+
+    sharded = shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq"), P()),
+        out_specs=P(None, "seq"), check_rep=False)
+
+    def loss(q, k, v):
+        out = sharded(q, k, v, k_lens)
+        # non-uniform cotangent so dq/dk/dv all get exercised non-trivially
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+        return jnp.sum(out * jnp.sin(w * 1e-3)) + jnp.sum(out ** 2)
+
+    return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("sp", [2, 4])
+def test_ring_pallas_grads_match_xla(sp):
+    """Backprop through the Pallas ring custom_vjp (interpret mode) must
+    equal autodiff through the jnp ring loop."""
+    q, k, v = _rand_qkv(2, 128, 2, 32, seed=0)
+    mesh = make_mesh(data=1, seq=sp)
+    k_lens = jnp.asarray([128, 128], jnp.int32)
+
+    g_ref = _ring_grads(q, k, v, k_lens, mesh, sp, "xla")
+    with _interp():
+        g_pallas = _ring_grads(q, k, v, k_lens, mesh, sp, "pallas")
+    for name, a, b in zip("qkv", g_pallas, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=f"d{name} mismatch (sp={sp})")
+
+
+def test_ring_pallas_grads_with_klens_padding():
+    """Global k_lens < L: masked tail keys must get zero dk/dv and the
+    valid gradients must match the oracle."""
+    q, k, v = _rand_qkv(2, 128, 2, 32, seed=1)
+    k_lens = jnp.asarray([128, 80], jnp.int32)
+    mesh = make_mesh(data=1, seq=4)
+
+    g_ref = _ring_grads(q, k, v, k_lens, mesh, 4, "xla")
+    with _interp():
+        g_pallas = _ring_grads(q, k, v, k_lens, mesh, 4, "pallas")
+    for name, a, b in zip("qkv", g_pallas, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=f"d{name} mismatch")
+    # masked tail of batch 1 (keys ≥ 80) contributes nothing
+    np.testing.assert_allclose(np.asarray(g_pallas[1][1, 80:]), 0.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_pallas[2][1, 80:]), 0.0,
+                               atol=1e-6)
+
+
+def test_ring_training_step_pallas_model_grads():
+    """Full-model check: grads of the sequence-parallel forward with
+    sp_mode='ring' on the Pallas path (interpret) vs the single-device
+    XLA forward — the reference's training-SP-must-train contract."""
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+    from moviigen_tpu.parallel.ulysses import sequence_parallel_forward
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    # the head is zero-init (ref model.py:633) — with it at zero the
+    # output is identically 0 and EVERY grad vanishes, making the
+    # comparison trivially true; randomize it so gradients flow through
+    # the whole stack
+    rng = np.random.default_rng(2)
+    params["head"]["head"]["kernel"] = jnp.asarray(
+        rng.standard_normal(params["head"]["head"]["kernel"].shape) * 0.1,
+        jnp.float32)
+    params["head"]["head"]["bias"] = jnp.asarray(
+        rng.standard_normal(params["head"]["head"]["bias"].shape) * 0.1,
+        jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 4, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((4, 4, 4), cfg.head_dim)
+    mesh = make_mesh(data=1, seq=4)
+
+    def loss_sp(p):
+        out = sequence_parallel_forward(
+            p, x, t, ctx, cfg, rope, mesh, sp_mode="ring",
+            compute_dtype=jnp.float32, attn_backend="pallas")
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(p):
+        out = wan_model.forward(p, x, t, ctx, cfg, rope,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla")
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    with _interp():
+        g_sp = jax.grad(loss_sp)(params)
+    g_ref = jax.grad(loss_ref)(params)
+
+    flat_sp = jax.tree_util.tree_leaves_with_path(g_sp)
+    flat_ref = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_sp) == len(flat_ref)
+    # guard against a trivially-true comparison (all-zero grads)
+    nonzero = sum(float(jnp.abs(b).max()) > 0 for b in flat_ref)
+    assert nonzero >= len(flat_ref) - 2, (
+        f"reference grads are mostly zero ({nonzero}/{len(flat_ref)} "
+        "nonzero) — the oracle is trivial")
+    for (path, a), b in zip(flat_sp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-3,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path)}")
