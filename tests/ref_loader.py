@@ -38,7 +38,14 @@ def _stub_diffusers():
     mmu = types.ModuleType("diffusers.models.modeling_utils")
 
     class ConfigMixin:
-        pass
+        def register_to_config(self, **kw):
+            # instance form (fm_solvers_unipc.py:99); the decorator form
+            # is the module-level function below / its solver-grade
+            # upgrade in _stub_diffusers_schedulers
+            if not hasattr(self, "config"):
+                object.__setattr__(self, "config", types.SimpleNamespace())
+            for k, v in kw.items():
+                setattr(self.config, k, v)
 
     def register_to_config(fn):
         return fn
@@ -53,6 +60,117 @@ def _stub_diffusers():
     sys.modules["diffusers.configuration_utils"] = cu
     sys.modules["diffusers.models"] = mu
     sys.modules["diffusers.models.modeling_utils"] = mmu
+
+
+def _stub_diffusers_schedulers():
+    """Extend the diffusers stub with what the reference flow-matching
+    solvers import (``fm_solvers*.py:10-16``): a *working*
+    ``register_to_config`` (the solvers read ``self.config.<init kwarg>``
+    throughout), SchedulerMixin/SchedulerOutput, and utils."""
+    import functools
+    import inspect
+
+    import torch
+
+    _stub_diffusers()
+    diffusers = sys.modules["diffusers"]
+    cu = sys.modules["diffusers.configuration_utils"]
+
+    if getattr(cu, "_solver_ready", False):
+        return
+
+    def register_to_config(init):
+        @functools.wraps(init)
+        def wrapper(self, *args, **kwargs):
+            sig = inspect.signature(init)
+            bound = sig.bind(self, *args, **kwargs)
+            bound.apply_defaults()
+            cfg = {k: v for k, v in bound.arguments.items()
+                   if k not in ("self", "kwargs")}
+            object.__setattr__(self, "config",
+                               types.SimpleNamespace(**cfg))
+            init(self, *args, **kwargs)
+
+        return wrapper
+
+    cu.register_to_config = register_to_config
+    cu._solver_ready = True
+
+    sched = types.ModuleType("diffusers.schedulers")
+    su = types.ModuleType("diffusers.schedulers.scheduling_utils")
+
+    class SchedulerMixin:
+        pass
+
+    class SchedulerOutput:
+        def __init__(self, prev_sample=None):
+            self.prev_sample = prev_sample
+
+    su.SchedulerMixin = SchedulerMixin
+    su.SchedulerOutput = SchedulerOutput
+    su.KarrasDiffusionSchedulers = []  # only iterated for names
+    sched.scheduling_utils = su
+    diffusers.schedulers = sched
+    sys.modules["diffusers.schedulers"] = sched
+    sys.modules["diffusers.schedulers.scheduling_utils"] = su
+
+    du = types.ModuleType("diffusers.utils")
+    du.deprecate = lambda *a, **k: None
+    du.is_scipy_available = lambda: False
+    dtu = types.ModuleType("diffusers.utils.torch_utils")
+
+    def randn_tensor(shape, generator=None, device=None, dtype=None):
+        return torch.randn(shape, generator=generator, device=device,
+                           dtype=dtype)
+
+    dtu.randn_tensor = randn_tensor
+    du.torch_utils = dtu
+    diffusers.utils = du
+    sys.modules["diffusers.utils"] = du
+    sys.modules["diffusers.utils.torch_utils"] = dtu
+
+
+def load_ref_solvers():
+    """Reference FlowUniPC / FlowDPM solvers runnable on CPU. Returns
+    (fm_solvers module, fm_solvers_unipc module)."""
+    _stub_diffusers_schedulers()
+    if "ref_fm_solvers" in sys.modules:
+        return (sys.modules["ref_fm_solvers"],
+                sys.modules["ref_fm_solvers_unipc"])
+    fm = _load("ref_fm_solvers", os.path.join(REF, "wan/utils/fm_solvers.py"))
+    fmu = _load("ref_fm_solvers_unipc",
+                os.path.join(REF, "wan/utils/fm_solvers_unipc.py"))
+    return fm, fmu
+
+
+def load_ref_text2video():
+    """Reference WanT2V pipeline (wan/text2video.py) runnable standalone
+    on CPU: the DiT/solvers come from the standalone loaders above; T5,
+    VAE and FSDP are import-stubbed (the test rig bypasses ``__init__``
+    and wires its own components, so only ``generate`` runs)."""
+    if "ref_text2video" in sys.modules:
+        return sys.modules["ref_text2video"]
+    load_ref_model()
+    load_ref_solvers()
+    path = os.path.join(REF, "wan/text2video.py")
+    src = open(path).read() \
+        .replace("from .distributed.fsdp import shard_model",
+                 "shard_model = None") \
+        .replace("from .modules.model import WanModel",
+                 "from ref_model import WanModel") \
+        .replace("from .modules.t5 import T5EncoderModel",
+                 "T5EncoderModel = None") \
+        .replace("from .modules.vae import WanVAE",
+                 "WanVAE = None") \
+        .replace("from .utils.fm_solvers import (",
+                 "from ref_fm_solvers import (") \
+        .replace("from .utils.fm_solvers_unipc import",
+                 "from ref_fm_solvers_unipc import")
+    mod = types.ModuleType("ref_text2video")
+    mod.__file__ = path
+    sys.modules["ref_text2video"] = mod
+    exec(compile(src, path, "exec"), mod.__dict__)
+    return mod
 
 
 def load_ref_model():
