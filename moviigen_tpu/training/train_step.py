@@ -52,6 +52,7 @@ class TrainConfig:
     num_train_timesteps: int = 1000
     schedule_shift: float = 1.0
     remat: bool = True
+    grad_accum_steps: int = 1            # finetune.py:535-597 accumulation cycle
     compute_ot: bool = False             # OT noise pairing (finetune.py:206-208)
     lr_warmup_steps: int = 0
     lr_scheduler: str = "constant"       # constant | linear | cosine
@@ -74,11 +75,16 @@ def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
             tc.learning_rate, tc.max_train_steps)
     else:
         raise ValueError(tc.lr_scheduler)
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(tc.max_grad_norm),
         optax.adamw(lr, b1=tc.betas[0], b2=tc.betas[1], eps=tc.eps,
                     weight_decay=tc.weight_decay),
     )
+    if tc.grad_accum_steps > 1:
+        # reference semantics (finetune.py:575-597): grads average over
+        # the accumulation window, params update once per cycle
+        opt = optax.MultiSteps(opt, tc.grad_accum_steps)
+    return opt
 
 
 def init_train_state(params: Dict[str, Any], tc: TrainConfig):
