@@ -30,14 +30,35 @@ import jax.numpy as jnp  # noqa: E402
 from moviigen_tpu.ops.flash_attention import flash_attention  # noqa: E402
 
 
-def bench_one(l, n_heads, d, bq, bk, iters, heads_per_call):
+def _dispatch_overhead():
+    """Per-dispatch relay overhead (CLAUDE.md: ~30-40 ms here) —
+    subtracted from each timed call so short sequences aren't
+    under-reported (at 32,760 tokens a call is ~0.2 s/8h: 40 ms of
+    relay latency read as a 5-6%% kernel deficit in the r2 sweep)."""
+    trivial = jax.jit(lambda v: jnp.sum(v))
+    x = jnp.ones((8,), jnp.float32)
+    float(trivial(x))
+    t0 = time.perf_counter()
+    for _ in range(4):
+        float(trivial(x))
+    return (time.perf_counter() - t0) / 4
+
+
+def bench_one(l, n_heads, d, bq, bk, iters, heads_per_call,
+              overhead=0.0):
     """Seconds per fwd call at [1, l, n_heads, d], timed in chunks of
-    heads_per_call heads to bound HBM at 131k tokens."""
+    heads_per_call heads to bound HBM at 131k tokens. ``iters=None``
+    auto-scales so the timed chain runs >=2 s (short sequences need
+    many chained iterations to amortize the dispatch)."""
     rng = np.random.default_rng(0)
     nh = heads_per_call
     q = jnp.asarray(rng.standard_normal((1, l, nh, d)) * 0.1, jnp.bfloat16)
     k = jnp.asarray(rng.standard_normal((1, l, nh, d)) * 0.1, jnp.bfloat16)
     v = jnp.asarray(rng.standard_normal((1, l, nh, d)) * 0.1, jnp.bfloat16)
+
+    if iters is None:
+        est_call = 4 * l * l * d * nh / 120e12  # assume ~120 TF/s
+        iters = max(2, min(64, int(round(2.0 / est_call))))
 
     def run(q0, k0, v0):
         def body(i, acc):
@@ -49,7 +70,7 @@ def bench_one(l, n_heads, d, bq, bk, iters, heads_per_call):
     float(fn(q, k, v))  # compile + warm
     t0 = time.perf_counter()
     float(fn(q, k, v))
-    sec_call = (time.perf_counter() - t0) / iters
+    sec_call = (time.perf_counter() - t0 - overhead) / iters
     return sec_call * (n_heads / nh)  # scale to the full head count
 
 
@@ -71,7 +92,9 @@ def main():
     ap.add_argument("--heads_per_call", type=int, default=8,
                     help="heads actually resident per timed call")
     ap.add_argument("--d", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=None,
+                    help="chained iterations per timed call (default: "
+                         "auto-scale so each call runs >=2 s)")
     args = ap.parse_args()
 
     if args.bq and args.bk:
@@ -81,13 +104,17 @@ def main():
     else:
         combos = list(itertools.product(args.blocks, args.blocks))
 
+    overhead = _dispatch_overhead()
+    print(f"dispatch overhead {overhead * 1e3:.1f} ms", flush=True)
+
     for l in args.seqs:
         flops = 4 * l * l * args.d * args.heads  # true, unpadded
         best = None
         for bq, bk in combos:
             try:
                 sec = bench_one(l, args.heads, args.d, bq, bk,
-                                args.iters, args.heads_per_call)
+                                args.iters, args.heads_per_call,
+                                overhead=overhead)
             except Exception as e:  # OOM / untileable
                 print(f"L={l:7d} bq={bq:5d} bk={bk:5d}: FAIL "
                       f"{type(e).__name__}: {str(e)[:80]}")

@@ -1,0 +1,143 @@
+"""Production-sequence-length training-step benchmark (one TPU chip).
+
+The reference's training envelope is 32,760-170,100 tokens
+(scripts/train/finetune.sh:6-33 `--max_seq_len 170100`; finetune.py:708
+"32760 480p 75600 720p"). This measures the full jitted train step —
+flow-matching loss + grads + global-norm clip + AdamW — at the 480p
+operating point (1.3B, 480x832x81f latents -> 32,760 DiT tokens),
+remat per block, bf16 params (finetune.sh trains bf16 master weights).
+
+Timing per CLAUDE.md: the step is ONE jitted program; chained
+iterations are not possible (each step consumes a fresh batch/key and
+donates state), so we time N sequential dispatches and subtract the
+measured per-dispatch relay overhead.
+
+Usage:
+    python tools/bench_train_step.py                     # 1.3B @ 32,760
+    python tools/bench_train_step.py --size 1280*720     # 75,600 tokens
+    python tools/bench_train_step.py --ffn_chunk 16384   # compose the
+        in-place stage streams with jax.checkpoint (remat)
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", default="t2v-1.3B")
+    ap.add_argument("--size", default="480*832")
+    ap.add_argument("--frame_num", type=int, default=81)
+    ap.add_argument("--steps", type=int, default=3)
+    ap.add_argument("--ffn_chunk", type=int, default=None)
+    ap.add_argument("--attn_head_chunk", type=int, default=None)
+    ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--attn_backend", default="pallas",
+                    help="'auto' probes lowering (use on CPU smoke runs)")
+    args = ap.parse_args()
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+    from moviigen_tpu.training import (TrainConfig, init_train_state,
+                                       make_train_step)
+    from moviigen_tpu.utils.profiling import \
+        enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    cfg = WAN_CONFIGS[args.task].model
+    if args.ffn_chunk or args.attn_head_chunk:
+        cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
+                                  attn_head_chunk=args.attn_head_chunk)
+    w, h = (int(v) for v in args.size.split("*"))
+    fp = (args.frame_num - 1) // 4 + 1
+    grid = (fp, h // 8 // 2, w // 8 // 2)
+    tokens = grid[0] * grid[1] * grid[2]
+    print(f"task={args.task} {w}x{h}x{args.frame_num}f tokens={tokens} "
+          f"remat={not args.no_remat} ffn_chunk={cfg.ffn_chunk}",
+          flush=True)
+
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.bfloat16)
+    jax.block_until_ready(params)
+    print("params on device", flush=True)
+    rope = rope_3d_freqs(grid, cfg.head_dim)
+    tc = TrainConfig(remat=not args.no_remat)
+    step = make_train_step(cfg, tc, rope, attn_backend=args.attn_backend)
+    _, opt_state = init_train_state(params, tc)
+    jax.block_until_ready(opt_state)
+
+    batch = {
+        "latents": jnp.asarray(
+            np.random.default_rng(0).standard_normal(
+                (1, cfg.in_dim, fp, h // 8, w // 8)), jnp.float32),
+        "context": jnp.zeros((1, cfg.text_len, cfg.text_dim),
+                             jnp.bfloat16),
+    }
+
+    jitted = jax.jit(step, donate_argnums=(0, 1))
+
+    # dispatch overhead (CLAUDE.md: each scalar readback ~30-40 ms)
+    trivial = jax.jit(lambda v: jnp.sum(v))
+    x0 = jnp.ones((8,), jnp.float32)
+    float(trivial(x0))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        float(trivial(x0))
+    overhead = (time.perf_counter() - t0) / 3
+
+    key = jax.random.PRNGKey(0)
+    print("compiling train step", flush=True)
+    t0 = time.perf_counter()
+    params, opt_state, metrics = jitted(params, opt_state, batch, key)
+    loss = float(metrics["loss"])  # forces completion
+    print(f"compiled + step0 in {time.perf_counter() - t0:.1f}s "
+          f"loss={loss:.4f}", flush=True)
+
+    times = []
+    for i in range(args.steps):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        params, opt_state, metrics = jitted(params, opt_state, batch, sub)
+        loss = float(metrics["loss"])
+        dt = time.perf_counter() - t0 - overhead
+        times.append(dt)
+        print(f"step {i + 1}: {dt:.3f}s loss={loss:.4f} "
+              f"grad_norm={float(metrics['grad_norm']):.3f}", flush=True)
+
+    sec = min(times)
+
+    # FLOPs: fwd (bench.py formulas) x3 for fwd+bwd, +1 fwd for remat
+    # recompute (per-block checkpointing recomputes ~the whole forward)
+    d, ffn, layers = cfg.dim, cfg.ffn_dim, cfg.num_layers
+    per_tok_lin = 6 * d * d + 2 * d * ffn
+    fwd_flops = 2 * layers * (per_tok_lin * tokens
+                              + 2 * d * d * cfg.text_len) \
+        + 4 * layers * d * (tokens * tokens + tokens * cfg.text_len)
+    mult = 4 if not args.no_remat else 3
+    total = mult * fwd_flops
+    tfs = total / sec / 1e12
+    print(json.dumps({
+        "metric": (f"sec_per_train_step_{args.task}_{w}x{h}_"
+                   f"{args.frame_num}f_remat"),
+        "value": round(sec, 3),
+        "unit": "s/step",
+        "tokens": tokens,
+        "achieved_tflops": round(tfs, 1),
+        "note": (f"fwd+bwd+remat-recompute+AdamW, bf16 params, "
+                 f"{mult}x fwd FLOPs accounting"),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
