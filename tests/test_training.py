@@ -227,3 +227,44 @@ class TestOptimalTransport:
         from moviigen_tpu.training.checkpoint import latest_checkpoint
 
         assert latest_checkpoint(str(out))[1] == 2
+
+
+def test_grad_accum_cycle_updates_once():
+    """TrainConfig.grad_accum_steps=2 (optax.MultiSteps — reference
+    finetune.py:535-597): params hold bit-still after microbatch 1 and
+    apply the averaged update at microbatch 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+    from moviigen_tpu.training import (TrainConfig, init_train_state,
+                                       make_train_step)
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    grid = (2, 4, 4)
+    rope = rope_3d_freqs(grid, cfg.head_dim)
+    tc = TrainConfig(remat=False, grad_accum_steps=2, learning_rate=1e-3)
+    step = make_train_step(cfg, tc, rope, attn_backend="xla")
+    _, opt_state = init_train_state(params, tc)
+    batch = {
+        "latents": jnp.ones((1, cfg.in_dim, 2, 8, 8), jnp.float32),
+        "context": jnp.ones((1, cfg.text_len, cfg.text_dim), jnp.float32),
+    }
+    before = jax.tree_util.tree_map(np.asarray, params)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    params, opt_state, m1 = step(params, opt_state, batch, k1)
+    mid = jax.tree_util.tree_map(np.asarray, params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(mid)):
+        np.testing.assert_array_equal(a, b)
+    params, opt_state, m2 = step(params, opt_state, batch, k2)
+    moved = any(
+        np.any(a != np.asarray(b)) for a, b in
+        zip(jax.tree_util.tree_leaves(mid),
+            jax.tree_util.tree_leaves(params)))
+    assert moved
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
