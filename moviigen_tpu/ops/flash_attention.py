@@ -52,7 +52,16 @@ def _auto_blocks(lq: int, lk: int) -> tuple:
     """(block_q, block_k) for this shape: the first measured-good
     divisor of Lq/Lk from the candidate lists, else the 1024 defaults.
     All candidates are multiples of 16 (bf16 sublane tiling); divisor-
-    of-L kills both the pad copies and the in-kernel mask predicate."""
+    of-L kills both the pad copies and the in-kernel mask predicate.
+
+    ``MOVIIGEN_FLASH_BLOCKS=bq,bk`` overrides (ops escape hatch for
+    bisecting kernel-shape issues on specific hardware revisions)."""
+    import os
+
+    env = os.environ.get("MOVIIGEN_FLASH_BLOCKS")
+    if env:
+        bq, bk = (int(v) for v in env.split(","))
+        return bq, bk
     bk = next((c for c in _BK_CANDIDATES if lk % c == 0),
               DEFAULT_BLOCK_K)
     bq = next((c for c in _BQ_CANDIDATES if lq % c == 0), None)

@@ -182,3 +182,13 @@ def test_auto_block_selection():
     assert _stats_safe_bq(1024) == 1024
     assert _vjp_safe_bk(2160) == DEFAULT_BLOCK_K
     assert _vjp_safe_bk(512) == 512
+
+
+def test_auto_blocks_env_override(monkeypatch):
+    """MOVIIGEN_FLASH_BLOCKS=bq,bk overrides shape-adapted selection
+    (ops escape hatch for hardware bisects)."""
+    from moviigen_tpu.ops.flash_attention import _auto_blocks
+
+    assert _auto_blocks(131040, 131040) == (1248, 2016)
+    monkeypatch.setenv("MOVIIGEN_FLASH_BLOCKS", "512,768")
+    assert _auto_blocks(131040, 131040) == (512, 768)

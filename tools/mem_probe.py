@@ -37,6 +37,12 @@ def main():
     from moviigen_tpu.models import wan_model
     from moviigen_tpu.ops.quantization import device_init_quantized_wan
     from moviigen_tpu.ops.rope import rope_3d_freqs
+    from moviigen_tpu.utils.profiling import \
+        enable_persistent_compilation_cache
+
+    # cache the backend compile: a bench/serving jit of the same program
+    # then skips the ~20 min remote compile
+    enable_persistent_compilation_cache()
 
     cfg = WAN_CONFIGS[args.task].model
     w, h = (int(v) for v in args.size.split("*"))
