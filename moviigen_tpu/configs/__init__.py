@@ -52,6 +52,13 @@ class WanModelConfig:
     # [B, L, dim] q and [B, L, N, D] out transients (~2.7 GB at 131k),
     # numerics identical.
     cross_attn_chunk: Optional[int] = None
+    # with attn_head_chunk + cross_attn_chunk both set, stream each head
+    # group's o-projection straight into the residual (the deepest memory
+    # collapse — see wan_model._self_attention_streamed). False keeps the
+    # head-chunked accumulator + whole o-projection instead: ~2.7 GB more
+    # transient at 131k tokens but one fewer in-loop construct (bisect
+    # knob for hardware-revision kernel faults in the streamed paths).
+    attn_o_stream: bool = True
 
     @property
     def head_dim(self) -> int:

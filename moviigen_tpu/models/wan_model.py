@@ -731,7 +731,8 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     xm = (layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[1])
           + e[0]).astype(compute_dtype)
     sa = bp["self_attn"]
-    if (cfg.cross_attn_chunk and _head_chunked(cfg, self_attn_fn)
+    if (cfg.cross_attn_chunk and cfg.attn_o_stream
+            and _head_chunked(cfg, self_attn_fn)
             and _can_row_slice(
                 sa["o"], cfg.attn_head_chunk * cfg.head_dim)):
         x = _self_attention_streamed(

@@ -81,6 +81,7 @@ def sequence_parallel_forward(
         remat: bool = False,
         sp_mode: str = "ulysses",
         fsdp_params: bool = False,
+        residual_dtype=jnp.float32,
         clip_fea: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sequence-parallel WanModel forward over a (data, seq) mesh.
@@ -200,7 +201,8 @@ def sequence_parallel_forward(
             p, xt_s, e0_s, ctx_s, cfg, rope_s, klens_s,
             compute_dtype=compute_dtype, attn_backend=attn_backend,
             remat=remat, self_attn_fn=self_attn_fn,
-            param_gather_fn=param_gather_fn)
+            param_gather_fn=param_gather_fn,
+            residual_dtype=residual_dtype)
 
     xr = shard_map(
         inner, mesh=mesh,

@@ -52,6 +52,15 @@ class TrainConfig:
     num_train_timesteps: int = 1000
     schedule_shift: float = 1.0
     remat: bool = True
+    # Residual-stream dtype inside the block scan. "bfloat16" matches
+    # the reference's training numerics (model_seq.py runs the whole
+    # forward under torch.autocast(bfloat16) — finetune.py:244-248 —
+    # so its hidden/residual stream IS bf16 outside the pinned fp32
+    # islands) and halves the per-layer remat-carry stack
+    # ([layers, B, L, D] fp32 = 5.62 GB at 32,760 tokens/1.3B — the
+    # allocation that OOMs a 16 GB chip). "float32" keeps the stricter
+    # fp32 residual discipline of the serving default.
+    residual_dtype: str = "float32"
     grad_accum_steps: int = 1            # finetune.py:535-597 accumulation cycle
     compute_ot: bool = False             # OT noise pairing (finetune.py:206-208)
     lr_warmup_steps: int = 0
@@ -115,6 +124,8 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
         sp_mode = "usp" if (mesh is not None
                             and "ring" in mesh.axis_names) else "ulysses"
 
+    rdt = jnp.dtype(tc.residual_dtype)
+
     def loss_fn(params, latents, context, noise, sigmas):
         noisy = flow_match_noisy(latents, noise, sigmas)
         t = sigmas * tc.num_train_timesteps  # timesteps = σ·T
@@ -124,11 +135,13 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
             pred = sequence_parallel_forward(
                 params, noisy, t, context, cfg, rope, mesh,
                 seq_len=seq_len, remat=tc.remat, sp_mode=sp_mode,
-                attn_backend=attn_backend, fsdp_params=True)
+                attn_backend=attn_backend, fsdp_params=True,
+                residual_dtype=rdt)
         else:
             pred = wan_model.forward(
                 params, noisy, t, context, cfg, rope, seq_len=seq_len,
-                remat=tc.remat, attn_backend=attn_backend)
+                remat=tc.remat, attn_backend=attn_backend,
+                residual_dtype=rdt)
         target = flow_match_target(latents, noise)
         loss = jnp.mean(jnp.square(pred.astype(jnp.float32)
                                    - target.astype(jnp.float32)))

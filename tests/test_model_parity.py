@@ -407,6 +407,13 @@ def test_fully_streamed_stages_invariance():
                             compute_dtype=jnp.float32, attn_backend="xla")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+    # attn_o_stream=False: head-chunked accumulator + whole o-projection
+    # (the bisect fallback for the streamed-o path) — same math
+    cfg_a = dataclasses.replace(cfg_c, attn_o_stream=False)
+    outa = wan_model.forward(params, x, t, ctx, cfg_a, rope,
+                             compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(outa), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
     # bf16 residual stream composes with the streamed stages
     outb = wan_model.forward(params, x, t, ctx, cfg_c, rope,
                              compute_dtype=jnp.float32,

@@ -268,3 +268,44 @@ def test_grad_accum_cycle_updates_once():
             jax.tree_util.tree_leaves(params)))
     assert moved
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_bf16_residual_train_step_matches_fp32():
+    """TrainConfig.residual_dtype='bfloat16' (the reference's autocast
+    training numerics, finetune.py:244-248 — and what fits 32,760-token
+    remat carries on a 16 GB chip): loss/grads track the fp32-residual
+    step closely on identical inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+    from moviigen_tpu.training import (TrainConfig, init_train_state,
+                                       make_train_step)
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.bfloat16)
+    grid = (2, 4, 4)
+    rope = rope_3d_freqs(grid, cfg.head_dim)
+    rng = np.random.default_rng(7)
+    batch = {
+        "latents": jnp.asarray(rng.standard_normal(
+            (1, cfg.in_dim, 2, 8, 8)), jnp.float32),
+        "context": jnp.asarray(rng.standard_normal(
+            (1, cfg.text_len, cfg.text_dim)), jnp.bfloat16),
+    }
+    key = jax.random.PRNGKey(11)
+    out = {}
+    for rdt in ("float32", "bfloat16"):
+        tc = TrainConfig(remat=True, residual_dtype=rdt)
+        step = make_train_step(cfg, tc, rope, attn_backend="xla")
+        _, opt_state = init_train_state(params, tc)
+        _, _, m = step(params, opt_state, batch, key)
+        out[rdt] = (float(m["loss"]), float(m["grad_norm"]))
+        assert np.isfinite(out[rdt][0]) and np.isfinite(out[rdt][1])
+    assert out["bfloat16"][0] == pytest.approx(out["float32"][0],
+                                               rel=2e-2)
+    assert out["bfloat16"][1] == pytest.approx(out["float32"][1],
+                                               rel=5e-2)

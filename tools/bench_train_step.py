@@ -41,8 +41,18 @@ def main():
     ap.add_argument("--ffn_chunk", type=int, default=None)
     ap.add_argument("--attn_head_chunk", type=int, default=None)
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--residual_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 matches the reference's autocast "
+                         "training numerics and halves the remat-carry "
+                         "stack — required to fit 32,760 tokens on a "
+                         "16 GB chip (fp32 carries OOM at 20.98 GB)")
     ap.add_argument("--attn_backend", default="pallas",
                     help="'auto' probes lowering (use on CPU smoke runs)")
+    ap.add_argument("--aot", action="store_true",
+                    help="AOT-compile only (abstract args, chipless "
+                         "buffer assignment) and print the memory "
+                         "analysis — cannot OOM or crash the worker")
     args = ap.parse_args()
 
     from moviigen_tpu.configs import WAN_CONFIGS
@@ -67,13 +77,45 @@ def main():
           f"remat={not args.no_remat} ffn_chunk={cfg.ffn_chunk}",
           flush=True)
 
+    rope = rope_3d_freqs(grid, cfg.head_dim)
+    tc = TrainConfig(remat=not args.no_remat,
+                     residual_dtype=args.residual_dtype)
+    step = make_train_step(cfg, tc, rope, attn_backend=args.attn_backend)
+
+    if args.aot:
+        # chipless fit probe: abstract shapes through the remote AOT
+        # compiler (mem_probe.py pattern) — donation honored, no alloc
+        params_s = jax.eval_shape(lambda: wan_model.init_params(
+            jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+        opt_s = jax.eval_shape(
+            lambda p: init_train_state(p, tc)[1], params_s)
+        batch_s = {
+            "latents": jax.ShapeDtypeStruct(
+                (1, cfg.in_dim, fp, h // 8, w // 8), jnp.float32),
+            "context": jax.ShapeDtypeStruct(
+                (1, cfg.text_len, cfg.text_dim), jnp.bfloat16),
+        }
+        key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        print("lowering...", flush=True)
+        lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
+            params_s, opt_s, batch_s, key_s)
+        print("compiling (backend buffer assignment)...", flush=True)
+        compiled = lowered.compile()
+        ma = compiled.memory_analysis()
+        print("compiled OK", flush=True)
+        if ma is not None:
+            for k in ("temp_size_in_bytes", "argument_size_in_bytes",
+                      "output_size_in_bytes", "alias_size_in_bytes",
+                      "generated_code_size_in_bytes"):
+                v = getattr(ma, k, None)
+                if v is not None:
+                    print(f"{k}: {v / 1e9:.3f} GB", flush=True)
+        return
+
     params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
                                    dtype=jnp.bfloat16)
     jax.block_until_ready(params)
     print("params on device", flush=True)
-    rope = rope_3d_freqs(grid, cfg.head_dim)
-    tc = TrainConfig(remat=not args.no_remat)
-    step = make_train_step(cfg, tc, rope, attn_backend=args.attn_backend)
     _, opt_state = init_train_state(params, tc)
     jax.block_until_ready(opt_state)
 
@@ -135,6 +177,7 @@ def main():
         "tokens": tokens,
         "achieved_tflops": round(tfs, 1),
         "note": (f"fwd+bwd+remat-recompute+AdamW, bf16 params, "
+                 f"{args.residual_dtype} residuals, "
                  f"{mult}x fwd FLOPs accounting"),
     }), flush=True)
 

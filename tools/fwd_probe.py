@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--attn_head_chunk", type=int, default=None)
     ap.add_argument("--cross_attn_chunk", type=int, default=None)
     ap.add_argument("--ffn_chunk", type=int, default=None)
+    ap.add_argument("--no_attn_o_stream", action="store_true",
+                    help="head-chunked accumulator + whole o-projection "
+                         "instead of the streamed o (bisect knob)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--attn_backend", default="pallas",
                     help="'xla' for CPU smoke runs")
@@ -56,7 +59,8 @@ def main():
     cfg = WAN_CONFIGS[args.task].model
     cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                               attn_head_chunk=args.attn_head_chunk,
-                              cross_attn_chunk=args.cross_attn_chunk)
+                              cross_attn_chunk=args.cross_attn_chunk,
+                              attn_o_stream=not args.no_attn_o_stream)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frames - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--attn_head_chunk", type=int, default=None)
     ap.add_argument("--cross_attn_chunk", type=int, default=None)
     ap.add_argument("--ffn_chunk", type=int, default=16384)
+    ap.add_argument("--no_attn_o_stream", action="store_true",
+                    help="head-chunked accumulator + whole o-projection "
+                         "instead of the streamed o (bisect knob)")
     ap.add_argument("--compile", action="store_true",
                     help="run full backend compile (buffer assignment) "
                          "instead of lowering only")
@@ -51,7 +54,8 @@ def main():
     tokens = grid[0] * grid[1] * grid[2]
     cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                               attn_head_chunk=args.attn_head_chunk,
-                              cross_attn_chunk=args.cross_attn_chunk)
+                              cross_attn_chunk=args.cross_attn_chunk,
+                              attn_o_stream=not args.no_attn_o_stream)
     print(f"tokens={tokens} ffn_chunk={cfg.ffn_chunk} "
           f"attn_head_chunk={cfg.attn_head_chunk} "
           f"cross_attn_chunk={cfg.cross_attn_chunk}", flush=True)
