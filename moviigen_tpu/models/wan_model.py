@@ -888,17 +888,30 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
                compute_dtype=jnp.bfloat16, attn_backend: str = "auto",
                remat: bool = False, self_attn_fn=None,
                param_gather_fn=None,
-               residual_dtype=jnp.float32) -> jnp.ndarray:
+               residual_dtype=jnp.float32,
+               remat_group: int = 1) -> jnp.ndarray:
     """Scan the AdaLN block stack over the fp32 residual stream.
 
     ``param_gather_fn`` (FSDP analog): applied to each layer's param
     slice inside the scan body — under ``shard_map`` it all-gathers
     weight shards just-in-time per layer (and its transpose
     reduce-scatters the weight grads), reproducing torch-FSDP
-    FULL_SHARD-per-block behavior (ref wan/distributed/fsdp.py:17-31)."""
+    FULL_SHARD-per-block behavior (ref wan/distributed/fsdp.py:17-31).
+
+    ``remat_group=g`` (with ``remat``): nested (two-level) remat — the
+    outer scan checkpoints every g-th residual, and each layer inside a
+    group is checkpointed again. The saved carry stack shrinks from
+    [layers, B, L, D] to [layers/g, B, L, D] (2.81 GB → 0.94 GB at
+    32,760 tokens/1.3B with g=3) while per-layer backward transients
+    stay 1x (a single-level group checkpoint instead keeps all g
+    layers' FFN intermediates live at once — measured +14 GB via the
+    AOT probe). Cost: one extra forward recompute vs per-layer remat
+    (group re-runs once for the outer backward, each layer once more
+    for its own) — the classic sqrt-remat memory/compute trade. The
+    reference checkpoints per-block only (finetune.py:244-248)."""
     xr = xt.astype(residual_dtype)
 
-    def body(carry, bp):
+    def layer(carry, bp):
         if param_gather_fn is not None:
             bp = param_gather_fn(bp)
         out = attention_block(bp, carry, e0, ctx, cfg, rope, k_lens,
@@ -906,8 +919,26 @@ def run_blocks(params: Params, xt: jnp.ndarray, e0: jnp.ndarray,
                               self_attn_fn=self_attn_fn)
         return out.astype(residual_dtype), None
 
-    body_fn = jax.checkpoint(body) if remat else body
-    xr, _ = jax.lax.scan(body_fn, xr, params["blocks"])
+    blocks = params["blocks"]
+    g = remat_group if remat else 1
+    if g > 1:
+        n = jax.tree_util.tree_leaves(blocks)[0].shape[0]
+        if n % g:
+            raise ValueError(f"remat_group={g} must divide the "
+                             f"{n}-layer stack")
+        blocks = jax.tree_util.tree_map(
+            lambda a: a.reshape(n // g, g, *a.shape[1:]), blocks)
+
+        layer_ckpt = jax.checkpoint(layer)
+
+        def group_body(carry, gbp):
+            out, _ = jax.lax.scan(layer_ckpt, carry, gbp)
+            return out, None
+
+        body_fn = jax.checkpoint(group_body)
+    else:
+        body_fn = jax.checkpoint(layer) if remat else layer
+    xr, _ = jax.lax.scan(body_fn, xr, blocks)
     return xr
 
 
@@ -938,6 +969,7 @@ def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
             attn_backend: str = "auto",
             remat: bool = False,
             residual_dtype=jnp.float32,
+            remat_group: int = 1,
             clip_fea: Optional[jnp.ndarray] = None,
             y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Denoising forward pass (ref WanModel.forward, model.py:486-579).
@@ -969,6 +1001,7 @@ def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,
         compute_dtype=compute_dtype, clip_fea=clip_fea, y=y)
     xr = run_blocks(params, xt, e0, ctx, cfg, rope, k_lens,
                     compute_dtype=compute_dtype, attn_backend=attn_backend,
-                    remat=remat, residual_dtype=residual_dtype)
+                    remat=remat, residual_dtype=residual_dtype,
+                    remat_group=remat_group)
     out = head_output(params, xr, e, cfg)
     return unpatchify(out, grid, cfg.patch_size, cfg.out_dim)

@@ -82,6 +82,7 @@ def sequence_parallel_forward(
         sp_mode: str = "ulysses",
         fsdp_params: bool = False,
         residual_dtype=jnp.float32,
+        remat_group: int = 1,
         clip_fea: Optional[jnp.ndarray] = None,
         y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Sequence-parallel WanModel forward over a (data, seq) mesh.
@@ -202,7 +203,7 @@ def sequence_parallel_forward(
             compute_dtype=compute_dtype, attn_backend=attn_backend,
             remat=remat, self_attn_fn=self_attn_fn,
             param_gather_fn=param_gather_fn,
-            residual_dtype=residual_dtype)
+            residual_dtype=residual_dtype, remat_group=remat_group)
 
     xr = shard_map(
         inner, mesh=mesh,

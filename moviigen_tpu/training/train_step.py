@@ -61,6 +61,14 @@ class TrainConfig:
     # allocation that OOMs a 16 GB chip). "float32" keeps the stricter
     # fp32 residual discipline of the serving default.
     residual_dtype: str = "float32"
+    # Checkpoint every g-th residual in the block scan instead of every
+    # layer (run_blocks remat_group): carry stack /g, recompute budget
+    # unchanged. g=3 turns the 32,760-token 1.3B step's 2.81 GB carry
+    # into 0.94 GB — with bf16 residuals that is what closes the 240 MB
+    # OOM gap on a 16 GB chip. NOTE: token-streaming (ffn_chunk etc.) is
+    # a serving-only memory tool — under autodiff the loop carries are
+    # saved per chunk and memory GROWS (+3 GB measured via --aot).
+    remat_group: int = 1
     grad_accum_steps: int = 1            # finetune.py:535-597 accumulation cycle
     compute_ot: bool = False             # OT noise pairing (finetune.py:206-208)
     lr_warmup_steps: int = 0
@@ -136,12 +144,12 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
                 params, noisy, t, context, cfg, rope, mesh,
                 seq_len=seq_len, remat=tc.remat, sp_mode=sp_mode,
                 attn_backend=attn_backend, fsdp_params=True,
-                residual_dtype=rdt)
+                residual_dtype=rdt, remat_group=tc.remat_group)
         else:
             pred = wan_model.forward(
                 params, noisy, t, context, cfg, rope, seq_len=seq_len,
                 remat=tc.remat, attn_backend=attn_backend,
-                residual_dtype=rdt)
+                residual_dtype=rdt, remat_group=tc.remat_group)
         target = flow_match_target(latents, noise)
         loss = jnp.mean(jnp.square(pred.astype(jnp.float32)
                                    - target.astype(jnp.float32)))

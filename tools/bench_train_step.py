@@ -40,7 +40,12 @@ def main():
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--ffn_chunk", type=int, default=None)
     ap.add_argument("--attn_head_chunk", type=int, default=None)
+    ap.add_argument("--cross_attn_chunk", type=int, default=None)
     ap.add_argument("--no_remat", action="store_true")
+    ap.add_argument("--remat_group", type=int, default=1,
+                    help="checkpoint every g-th residual (carry stack "
+                         "/g, same recompute) — g=3 closes the 240 MB "
+                         "gap at 32,760 tokens")
     ap.add_argument("--residual_dtype", default="float32",
                     choices=["float32", "bfloat16"],
                     help="bfloat16 matches the reference's autocast "
@@ -66,9 +71,10 @@ def main():
     enable_persistent_compilation_cache()
 
     cfg = WAN_CONFIGS[args.task].model
-    if args.ffn_chunk or args.attn_head_chunk:
+    if args.ffn_chunk or args.attn_head_chunk or args.cross_attn_chunk:
         cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
-                                  attn_head_chunk=args.attn_head_chunk)
+                                  attn_head_chunk=args.attn_head_chunk,
+                                  cross_attn_chunk=args.cross_attn_chunk)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frame_num - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
@@ -79,7 +85,8 @@ def main():
 
     rope = rope_3d_freqs(grid, cfg.head_dim)
     tc = TrainConfig(remat=not args.no_remat,
-                     residual_dtype=args.residual_dtype)
+                     residual_dtype=args.residual_dtype,
+                     remat_group=args.remat_group)
     step = make_train_step(cfg, tc, rope, attn_backend=args.attn_backend)
 
     if args.aot:
