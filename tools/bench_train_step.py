@@ -166,14 +166,17 @@ def main():
 
     sec = min(times)
 
-    # FLOPs: fwd (bench.py formulas) x3 for fwd+bwd, +1 fwd for remat
-    # recompute (per-block checkpointing recomputes ~the whole forward)
+    # FLOPs: fwd (bench.py formulas) x3 for fwd+bwd, +1 fwd per remat
+    # recompute level (per-layer checkpointing re-runs the forward once;
+    # nested remat groups re-run it twice — group pass + layer pass)
     d, ffn, layers = cfg.dim, cfg.ffn_dim, cfg.num_layers
     per_tok_lin = 6 * d * d + 2 * d * ffn
     fwd_flops = 2 * layers * (per_tok_lin * tokens
                               + 2 * d * d * cfg.text_len) \
         + 4 * layers * d * (tokens * tokens + tokens * cfg.text_len)
-    mult = 4 if not args.no_remat else 3
+    mult = 3
+    if not args.no_remat:
+        mult += 2 if args.remat_group > 1 else 1
     total = mult * fwd_flops
     tfs = total / sec / 1e12
     print(json.dumps({
@@ -183,9 +186,12 @@ def main():
         "unit": "s/step",
         "tokens": tokens,
         "achieved_tflops": round(tfs, 1),
+        "model_tflops": round(3 * fwd_flops / sec / 1e12, 1),
         "note": (f"fwd+bwd+remat-recompute+AdamW, bf16 params, "
                  f"{args.residual_dtype} residuals, "
-                 f"{mult}x fwd FLOPs accounting"),
+                 f"remat_group={args.remat_group}, "
+                 f"{mult}x fwd executed-FLOPs accounting "
+                 f"(model_tflops = 3x goodput)"),
     }), flush=True)
 
 
