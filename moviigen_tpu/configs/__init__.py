@@ -59,6 +59,14 @@ class WanModelConfig:
     # transient at 131k tokens but one fewer in-loop construct (bisect
     # knob for hardware-revision kernel faults in the streamed paths).
     attn_o_stream: bool = True
+    # training-side token chunk for the FFN stage (ignored when
+    # ffn_chunk is set): chunks are scanned with a per-chunk
+    # jax.checkpoint so the FFN intermediate never materializes at
+    # [L, ffn_dim] in the BACKWARD pass either (the serving streams
+    # above grow training memory — their loop carries get saved by
+    # autodiff). The enabler for 75,600-token (720p) training steps
+    # on a 16 GB chip.
+    ffn_bwd_chunk: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

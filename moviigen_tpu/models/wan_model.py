@@ -776,7 +776,35 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
         y = _ffn(bp["ffn"], xf, cfg, compute_dtype)
         return y.astype(jnp.float32) * e[5]
 
+    if cfg.ffn_bwd_chunk and not cfg.ffn_chunk:
+        y = _chunked_delta_scan(x, cfg.ffn_bwd_chunk, ffn_delta)
+        return (x.astype(jnp.float32) + y).astype(rdt)
     return _stream_residual(x, cfg.ffn_chunk, ffn_delta)
+
+
+def _chunked_delta_scan(x: jnp.ndarray, chunk: int, delta) -> jnp.ndarray:
+    """AD-friendly token-chunked stage evaluation (training-side dual of
+    ``_stream_residual``, which is forward-only: its fori_loop carries
+    the full residual and autodiff saves that carry per iteration,
+    GROWING memory — AOT-measured +3 GB at 32,760 tokens).
+
+    Here chunks are scanned as stacked xs with a per-chunk
+    ``jax.checkpoint``: the scan's saved inputs total one [B, L, D]
+    (the chunks of x), and each chunk's FFN intermediate
+    ([chunk, ffn_dim] instead of [L, ffn_dim] — 2×1.35 GB at 75,600
+    tokens/1.3B) is recomputed transiently during that chunk's
+    backward. Per-token math identical; only weight-gradient
+    accumulation order changes (fp32 adds reordered)."""
+    b, l, d = x.shape
+    c = _divisor_chunk(l, chunk)
+    xs = x.reshape(b, l // c, c, d).transpose(1, 0, 2, 3)
+    delta_ckpt = jax.checkpoint(delta)
+
+    def body(_, xc):
+        return None, delta_ckpt(xc).astype(jnp.float32)
+
+    _, ys = jax.lax.scan(body, None, xs)
+    return ys.transpose(1, 0, 2, 3).reshape(b, l, d)
 
 
 def _ffn(p: Params, xf: jnp.ndarray, cfg: WanModelConfig,

@@ -351,3 +351,42 @@ def test_remat_group_grads_match_per_layer():
     with pytest.raises(ValueError):
         wan_model.forward(params, x, t, ctx, cfg, rope, remat=True,
                           remat_group=cfg.num_layers + 1)
+
+
+def test_ffn_bwd_chunk_grads_match_unchunked():
+    """cfg.ffn_bwd_chunk (AD-friendly scanned FFN chunks with per-chunk
+    checkpoint — the 75,600-token training enabler) leaves forward and
+    gradients bit-identical to the unchunked FFN."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    cfg_c = dataclasses.replace(cfg, ffn_bwd_chunk=8)
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+
+    def loss(p, c):
+        out = wan_model.forward(p, x, t, ctx, c, rope,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla", remat=True)
+        return jnp.sum(jnp.square(out))
+
+    l1, g1 = jax.value_and_grad(loss)(params, cfg)
+    l2, g2 = jax.value_and_grad(loss)(params, cfg_c)
+    assert float(l1) == float(l2)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--ffn_chunk", type=int, default=None)
     ap.add_argument("--attn_head_chunk", type=int, default=None)
     ap.add_argument("--cross_attn_chunk", type=int, default=None)
+    ap.add_argument("--ffn_bwd_chunk", type=int, default=None,
+                    help="AD-friendly FFN token chunk (per-chunk "
+                         "checkpoint) — the 75,600-token enabler; the "
+                         "serving streams (--ffn_chunk) GROW training "
+                         "memory instead")
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--remat_group", type=int, default=1,
                     help="checkpoint every g-th residual (carry stack "
@@ -71,10 +76,12 @@ def main():
     enable_persistent_compilation_cache()
 
     cfg = WAN_CONFIGS[args.task].model
-    if args.ffn_chunk or args.attn_head_chunk or args.cross_attn_chunk:
+    if (args.ffn_chunk or args.attn_head_chunk or args.cross_attn_chunk
+            or args.ffn_bwd_chunk):
         cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                                   attn_head_chunk=args.attn_head_chunk,
-                                  cross_attn_chunk=args.cross_attn_chunk)
+                                  cross_attn_chunk=args.cross_attn_chunk,
+                                  ffn_bwd_chunk=args.ffn_bwd_chunk)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frame_num - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
