@@ -49,6 +49,21 @@ def _parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--gradient_checkpointing", action="store_true")
+    # training memory recipe (docs/performance.md "Production-sequence-
+    # length training"): bf16 residual stream + nested remat groups +
+    # AD-friendly chunked FFN are what fit 32,760-token (480P-81f)
+    # training on one 16 GB chip
+    p.add_argument("--residual_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="residual-stream dtype inside the block scan; "
+                        "bfloat16 matches the reference's autocast-bf16 "
+                        "training numerics and halves the remat carry")
+    p.add_argument("--remat_group", type=int, default=1,
+                   help="checkpoint every g-th residual in the block scan "
+                        "(nested remat; needs --gradient_checkpointing)")
+    p.add_argument("--ffn_bwd_chunk", type=int, default=None,
+                   help="AD-friendly token-chunked FFN (scan + per-chunk "
+                        "checkpoint) bounding the FFN backward transient")
     # optim
     p.add_argument("--learning_rate", type=float, default=1e-6)
     p.add_argument("--weight_decay", type=float, default=1e-4)
@@ -103,6 +118,10 @@ def main(argv=None):
 
     cfg = WAN_CONFIGS[args.task]
     mcfg = cfg.model
+    if args.ffn_bwd_chunk:
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(mcfg, ffn_bwd_chunk=args.ffn_bwd_chunk)
     n_dev = len(jax.devices())
     sp = args.sp_size
     assert n_dev % sp == 0, f"sp_size {sp} must divide devices {n_dev}"
@@ -158,6 +177,9 @@ def main(argv=None):
         mode_scale=args.mode_scale,
         num_train_timesteps=cfg.num_train_timesteps,
         remat=args.gradient_checkpointing,
+        residual_dtype=args.residual_dtype,
+        remat_group=args.remat_group,
+        grad_accum_steps=args.gradient_accumulation_steps,
         compute_ot=args.compute_ot,
         lr_scheduler=args.lr_scheduler,
         lr_warmup_steps=args.lr_warmup_steps,
@@ -180,9 +202,10 @@ def main(argv=None):
     from ..training.train_step import make_optimizer
     import optax
 
+    # make_optimizer wraps optax.MultiSteps itself when
+    # tc.grad_accum_steps > 1 — do NOT wrap again here (a second wrap
+    # would silently update every k² microbatches)
     opt = make_optimizer(tc)
-    if args.gradient_accumulation_steps > 1:
-        opt = optax.MultiSteps(opt, args.gradient_accumulation_steps)
     opt_state = opt.init(trainable)
 
     # unified jitted step supporting full / LoRA fine-tuning
@@ -194,6 +217,8 @@ def main(argv=None):
         train_schedule(tc.num_train_timesteps, tc.schedule_shift)[0])
     use_sp = mesh is not None and sp > 1
 
+    rdt = jnp.dtype(tc.residual_dtype)
+
     def forward(p, noisy, t, ctx):
         if use_sp:
             from ..parallel.ulysses import sequence_parallel_forward
@@ -201,10 +226,12 @@ def main(argv=None):
             return sequence_parallel_forward(
                 p, noisy, t, ctx, mcfg, rope, mesh,
                 seq_len=seq_len if seq_len > tokens else None,
-                remat=tc.remat, fsdp_params=True)
+                remat=tc.remat, fsdp_params=True,
+                residual_dtype=rdt, remat_group=tc.remat_group)
         return wan_model.forward(
             p, noisy, t, ctx, mcfg, rope,
-            seq_len=seq_len if seq_len > tokens else None, remat=tc.remat)
+            seq_len=seq_len if seq_len > tokens else None, remat=tc.remat,
+            residual_dtype=rdt, remat_group=tc.remat_group)
 
     def train_step(trainable, opt_state, frozen, batch, key):
         latents, context = batch["latents"], batch["context"]

@@ -552,8 +552,18 @@ def _token_stream(x: jnp.ndarray, chunk: Optional[int], body):
 
 def _divisor_chunk(l: int, chunk: int) -> int:
     """Largest chunk <= ``chunk`` that divides ``l`` exactly (so the
-    in-place residual stream needs no pad copy and no tail program)."""
-    return l // -(-l // chunk)
+    in-place residual stream needs no pad copy and no tail program).
+
+    Must return a TRUE divisor: ``_stream_residual`` would silently
+    skip the tail tokens' update and ``_chunked_delta_scan``'s reshape
+    would fail at trace time otherwise. For awkward ``l`` whose largest
+    divisor <= chunk is tiny (< chunk/8, e.g. near-prime lengths),
+    falls back to ``l`` (no chunking) — a tiny chunk costs far more in
+    loop overhead than the transient it saves."""
+    c = min(chunk, l)
+    while c > 1 and l % c:
+        c -= 1
+    return c if c >= max(1, chunk // 8) else l
 
 
 def _stream_residual(x: jnp.ndarray, chunk: Optional[int], delta,

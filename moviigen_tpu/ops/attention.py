@@ -75,11 +75,20 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                        k_lens: Optional[jnp.ndarray], scale: float,
-                       block_k: int = 1024) -> jnp.ndarray:
+                       block_k: Optional[int] = None) -> jnp.ndarray:
     """Memory-bounded online-softmax attention as a ``lax.scan`` over key
     blocks — differentiable (used as the flash kernel's backward reference
     and as a no-Pallas fallback for long sequences). Peak memory
-    O(B·N·Lq·block_k) instead of O(B·N·Lq·Lk)."""
+    O(B·N·Lq·block_k) instead of O(B·N·Lq·Lk).
+
+    ``MOVIIGEN_CHUNKED_BLOCK_K`` overrides the 1024 default at trace
+    time — the AOT memory probes (tools/mem_probe_sp.py) shrink it so
+    the CPU-mesh buffer profile approximates the Pallas kernel's (whose
+    logits live in VMEM tiles, not HBM)."""
+    if block_k is None:
+        import os
+
+        block_k = int(os.environ.get("MOVIIGEN_CHUNKED_BLOCK_K", "1024"))
     b, lq, n, d = q.shape
     lk = k.shape[1]
     bk = min(block_k, lk)

@@ -60,8 +60,15 @@ def _auto_blocks(lq: int, lk: int) -> tuple:
 
     env = os.environ.get("MOVIIGEN_FLASH_BLOCKS")
     if env:
-        bq, bk = (int(v) for v in env.split(","))
-        return bq, bk
+        try:
+            parts = [int(v) for v in env.split(",")]
+        except ValueError:
+            parts = []
+        if len(parts) != 2 or any(p <= 0 or p % 16 for p in parts):
+            raise ValueError(
+                f"MOVIIGEN_FLASH_BLOCKS={env!r}: expected 'bq,bk' — two "
+                "positive ints, each a multiple of 16 (sublane tiling)")
+        return parts[0], parts[1]
     bk = next((c for c in _BK_CANDIDATES if lk % c == 0),
               DEFAULT_BLOCK_K)
     bq = next((c for c in _BQ_CANDIDATES if lq % c == 0), None)

@@ -109,6 +109,47 @@ def t5_param_specs(params: Dict[str, Any], axis: str = "seq"
     return _tree_map_with_path(spec, params)
 
 
+def opt_state_specs(opt_state, params, param_specs):
+    """PartitionSpec tree for an optax state, mirroring param shardings.
+
+    AdamW's ``mu``/``nu`` (and MultiSteps' accumulators) are pytrees
+    structurally containing the param tree, so every optimizer leaf
+    whose tree-path SUFFIX matches a param's path (and shape) inherits
+    that param's spec; everything else (step counters, scalars)
+    replicates. This is what keeps fp32 optimizer moments FSDP-sharded
+    at 14B scale (2 x 56 GB replicated would never fit a chip) —
+    the torch analog is FSDP's sharded optimizer state."""
+    from jax.tree_util import tree_flatten_with_path, tree_unflatten
+
+    def keystr(entry):
+        for attr in ("key", "name", "idx"):
+            if hasattr(entry, attr):
+                return str(getattr(entry, attr))
+        return str(entry)
+
+    pflat, _ = tree_flatten_with_path(params)
+    sflat = jax.tree_util.tree_leaves(
+        param_specs, is_leaf=lambda s: isinstance(s, P))
+    assert len(pflat) == len(sflat), "specs tree != params tree"
+    pmap = {}
+    for (path, leaf), spec in zip(pflat, sflat):
+        pmap[tuple(keystr(e) for e in path)] = (spec, tuple(leaf.shape))
+
+    oflat, treedef = tree_flatten_with_path(opt_state)
+    out = []
+    for path, leaf in oflat:
+        keys = tuple(keystr(e) for e in path)
+        spec = None
+        for i in range(len(keys)):
+            hit = pmap.get(keys[i:])
+            if hit is not None and hit[1] == tuple(leaf.shape):
+                spec = hit[0]
+                break
+        out.append(spec if spec is not None
+                   else P(*([None] * getattr(leaf, "ndim", 0))))
+    return tree_unflatten(treedef, out)
+
+
 def shard_params(mesh: Mesh, params: Dict[str, Any],
                  specs: Dict[str, Any]) -> Dict[str, Any]:
     """device_put each leaf with its NamedSharding."""

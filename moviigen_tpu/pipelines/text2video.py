@@ -77,6 +77,85 @@ def compute_target_shape_and_seq_len(config: PipelineConfig,
 # lower it to exercise both paths on the tiny config.
 _T5_OFFLOAD_BYTES = 4 << 30
 
+# Proven-path registry for the single-chip auto memory config
+# (docs/performance.md "Single-chip 1080P-81f"): the streamed
+# self/cross-attention combo (attn_head_chunk + cross_attn_chunk)
+# compiles and fits, but EXECUTING it deterministically faults the axon
+# TPU worker (r3 bisect; reproduced at 720P). Until the fault is fixed,
+# auto-config must not route users into it — explicitly-set config
+# fields and the MOVIIGEN_STREAMED_ATTN=1 env opt-in still reach the
+# path for bisect work. Flip to True once a streamed-path fix is
+# execute-verified on hardware.
+STREAMED_ATTN_PROVEN = False
+
+
+def _streamed_attn_allowed() -> bool:
+    return STREAMED_ATTN_PROVEN or \
+        os.environ.get("MOVIIGEN_STREAMED_ATTN", "") == "1"
+
+
+def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
+    """Single-chip long-sequence memory auto-config (the serving-side
+    answer to the reference's CPU-offload juggling, text2video.py:
+    175-259). May choose, in order of escalation:
+
+    1. ``ffn_chunk`` — token-streamed FFN (proven: the 720P headline
+       runs it).
+    2. ``attn_head_chunk`` + ``cross_attn_chunk`` — streamed attention.
+       KNOWN-FAULTING at execute on axon-v5e (r3 bisect): guarded by
+       ``STREAMED_ATTN_PROVEN`` / ``MOVIIGEN_STREAMED_ATTN=1`` — by
+       default the pipeline raises an actionable error instead of
+       wedging the worker for ~1 h.
+
+    Explicitly-set config fields are never overridden. Under SP the
+    per-chip sequence shard stays below every threshold and nothing is
+    chunked. The choice set is pinned by tests/test_pipeline.py."""
+    import dataclasses as _dc
+
+    if use_sp:
+        return cfg
+    if cfg.ffn_chunk is None:
+        # bound the [2B, L, ffn] bf16 transient to ~2 GB by streaming
+        # tokens through the FFN (enables 131k-token 1080p on one
+        # 16 GB chip). Quantized deployments keep T5 resident too, so
+        # chunk from ~1 GB (measured: chunking costs <0.1% at the 14B
+        # operating point — the GEMMs stay wide)
+        limit = (1 << 30) if quant else (1 << 31)
+        if 4 * seq_len * cfg.ffn_dim > limit:
+            cfg = _dc.replace(cfg, ffn_chunk=8192 if quant else 16384)
+    if cfg.attn_head_chunk is None:
+        # bound the q/k/v/attn-out transients too: measured on a
+        # 16 GB v5e the 14B runs 75.6k tokens unchunked but the
+        # worker dies past ~75k (99.8k/131k) — q+k+v alone is
+        # 3·2·L·dim bytes (3.1 GB at 99.8k). Chunk heads when that
+        # sum exceeds ~2.4 GB, in groups of 8 (divisor-largest ≤8).
+        if 6 * seq_len * cfg.dim > 2_400_000_000:
+            if not _streamed_attn_allowed():
+                # GUARD (VERDICT r3): fail fast with options instead
+                # of routing users into the known worker fault.
+                raise RuntimeError(
+                    f"single-chip sequence of {seq_len} tokens needs "
+                    "the streamed-attention memory config "
+                    "(attn_head_chunk + cross_attn_chunk), which is "
+                    "known to crash the TPU worker at execute on "
+                    "this hardware (docs/performance.md 'Single-chip"
+                    " 1080P-81f'). Options: (a) shard the sequence "
+                    "across chips (--ulysses_size/--ring_size), "
+                    "(b) reduce --size/--frame_num below ~78k "
+                    "tokens, or (c) set MOVIIGEN_STREAMED_ATTN=1 to "
+                    "try the experimental streamed path anyway.")
+            hc = next((h for h in (8, 5, 4, 2)
+                       if cfg.num_heads % h == 0
+                       and h < cfg.num_heads), None)
+            if hc:
+                cfg = _dc.replace(cfg, attn_head_chunk=hc)
+            if cfg.cross_attn_chunk is None:
+                # stream cross-attn queries too (text kv is 512
+                # tokens; no cross-query coupling — ~2.7 GB of
+                # q/out transients at 131k)
+                cfg = _dc.replace(cfg, cross_attn_chunk=16384)
+    return cfg
+
 
 def _drain(tree):
     """Force every enqueued op on the tree to finish via a scalar
@@ -437,38 +516,7 @@ class WanT2V:
         mesh = self.mesh
         use_sp = mesh is not None and mesh_axis_size(mesh, "ring") \
             * mesh_axis_size(mesh, "seq") > 1
-        if not use_sp and cfg.ffn_chunk is None:
-            # single-chip long sequences: bound the [2B, L, ffn] bf16
-            # transient to ~2 GB by streaming tokens through the FFN
-            # (enables 131k-token 1080p on one 16 GB chip). Quantized
-            # deployments keep T5 resident too, so chunk from ~1 GB
-            # (measured: chunking costs <0.1% at the 14B operating
-            # point — the GEMMs stay wide)
-            limit = (1 << 30) if self.quant else (1 << 31)
-            if 4 * seq_len * cfg.ffn_dim > limit:
-                import dataclasses as _dc
-
-                cfg = _dc.replace(
-                    cfg, ffn_chunk=8192 if self.quant else 16384)
-        if not use_sp and cfg.attn_head_chunk is None:
-            # bound the q/k/v/attn-out transients too: measured on a
-            # 16 GB v5e the 14B runs 75.6k tokens unchunked but the
-            # worker dies past ~75k (99.8k/131k) — q+k+v alone is
-            # 3·2·L·dim bytes (3.1 GB at 99.8k). Chunk heads when that
-            # sum exceeds ~2.4 GB, in groups of 8 (divisor-largest ≤8).
-            if 6 * seq_len * cfg.dim > 2_400_000_000:
-                import dataclasses as _dc
-
-                hc = next((h for h in (8, 5, 4, 2)
-                           if cfg.num_heads % h == 0
-                           and h < cfg.num_heads), None)
-                if hc:
-                    cfg = _dc.replace(cfg, attn_head_chunk=hc)
-                if cfg.cross_attn_chunk is None:
-                    # stream cross-attn queries too (text kv is 512
-                    # tokens; no cross-query coupling — ~2.7 GB of
-                    # q/out transients at 131k)
-                    cfg = _dc.replace(cfg, cross_attn_chunk=16384)
+        cfg = _auto_memory_config(cfg, seq_len, use_sp, bool(self.quant))
 
         # CFG pairing: batched (one B=2 forward) is ~1.9x per step where
         # activations fit. At long sequence on a single chip the doubled

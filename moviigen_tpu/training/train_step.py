@@ -174,6 +174,10 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
 
         (loss, t), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, latents, context, noise, sigmas)
+        # NOTE: with grad_accum_steps > 1 this is the RAW per-microbatch
+        # gradient norm, not the clipped norm of the accumulated gradient
+        # the reference logs at cycle end (finetune.py:594) — the two
+        # logged series are not directly comparable under accumulation.
         gnorm = optax.global_norm(grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -189,6 +189,11 @@ def test_auto_blocks_env_override(monkeypatch):
     (ops escape hatch for hardware bisects)."""
     from moviigen_tpu.ops.flash_attention import _auto_blocks
 
+    monkeypatch.delenv("MOVIIGEN_FLASH_BLOCKS", raising=False)
     assert _auto_blocks(131040, 131040) == (1248, 2016)
     monkeypatch.setenv("MOVIIGEN_FLASH_BLOCKS", "512,768")
     assert _auto_blocks(131040, 131040) == (512, 768)
+    for bad in ("512", "0,768", "512,-16", "a,b", "512,1000"):
+        monkeypatch.setenv("MOVIIGEN_FLASH_BLOCKS", bad)
+        with pytest.raises(ValueError, match="MOVIIGEN_FLASH_BLOCKS"):
+            _auto_blocks(131040, 131040)

@@ -421,3 +421,33 @@ def test_fully_streamed_stages_invariance():
                              residual_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(outb), np.asarray(ref),
                                atol=0.12, rtol=0.05)
+
+
+def test_divisor_chunk_is_true_divisor():
+    """_divisor_chunk must return an exact divisor of l for every input:
+    _stream_residual would silently skip tail-token updates and
+    _chunked_delta_scan's reshape would fail otherwise (e.g. l=10,
+    chunk=4 used to yield 3)."""
+    from moviigen_tpu.models.wan_model import _divisor_chunk
+
+    for l in (10, 32, 7, 97, 32760, 75600, 131040, 16):
+        for chunk in (4, 12, 8192, 16384, 1):
+            c = _divisor_chunk(l, chunk)
+            assert l % c == 0, (l, chunk, c)
+            assert c <= max(chunk, 1) or c == l, (l, chunk, c)
+    assert _divisor_chunk(10, 4) == 2
+    # near-prime l: tiny divisors are rejected, falls back to l
+    assert _divisor_chunk(97, 16384) == 97
+    assert _divisor_chunk(131040, 16384) == 16380
+
+
+def test_chunked_delta_scan_non_divisor_chunk():
+    """_chunked_delta_scan with a chunk that doesn't divide l (the
+    ADVICE r3 medium: reshape used to fail at trace time)."""
+    import jax.numpy as jnp
+
+    from moviigen_tpu.models.wan_model import _chunked_delta_scan
+
+    x = jnp.arange(2 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 3)
+    out = _chunked_delta_scan(x, 4, lambda xc: 2.0 * xc)
+    np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(x))

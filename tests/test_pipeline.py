@@ -182,3 +182,46 @@ def test_generate_residual_bf16_close_to_fp32(pipe):
 
     with pytest.raises(ValueError):
         WanT2V(config=WAN_CONFIGS["t2v-tiny"], residual_dtype="fp8")
+
+
+def test_auto_memory_config_choice_set(monkeypatch):
+    """Pin exactly which knobs single-chip auto-config may choose
+    (VERDICT r3): ffn_chunk is the only stream it enables on its own;
+    the known-faulting attn_head_chunk+cross_attn_chunk combo must
+    raise an actionable error unless MOVIIGEN_STREAMED_ATTN=1 (or the
+    path is marked proven)."""
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.pipelines.text2video import _auto_memory_config
+
+    monkeypatch.delenv("MOVIIGEN_STREAMED_ATTN", raising=False)
+    cfg = WAN_CONFIGS["t2v-14B"].model
+    assert cfg.ffn_chunk is None and cfg.attn_head_chunk is None
+
+    # 720P (75,600 tokens): FFN stream only — the proven headline path
+    out = _auto_memory_config(cfg, 75600, use_sp=False, quant=True)
+    assert out.ffn_chunk == 8192
+    assert out.attn_head_chunk is None
+    assert out.cross_attn_chunk is None
+
+    # 1080P-81f (131,040 tokens): must raise, not wedge the worker
+    with pytest.raises(RuntimeError, match="MOVIIGEN_STREAMED_ATTN"):
+        _auto_memory_config(cfg, 131040, use_sp=False, quant=True)
+
+    # explicit env opt-in reaches the streamed combo (bisect work)
+    monkeypatch.setenv("MOVIIGEN_STREAMED_ATTN", "1")
+    out = _auto_memory_config(cfg, 131040, use_sp=False, quant=True)
+    assert out.attn_head_chunk == 8
+    assert out.cross_attn_chunk == 16384
+
+    # under SP nothing is chunked (per-chip shards are small)
+    monkeypatch.delenv("MOVIIGEN_STREAMED_ATTN", raising=False)
+    out = _auto_memory_config(cfg, 131040, use_sp=True, quant=True)
+    assert out == cfg
+
+    # explicitly-set fields are never overridden and bypass the guard
+    import dataclasses
+
+    cfg_exp = dataclasses.replace(cfg, attn_head_chunk=4,
+                                  cross_attn_chunk=4096, ffn_chunk=4096)
+    out = _auto_memory_config(cfg_exp, 131040, use_sp=False, quant=True)
+    assert out == cfg_exp
