@@ -64,6 +64,10 @@ def _parse_args(argv=None):
     p.add_argument("--ffn_bwd_chunk", type=int, default=None,
                    help="AD-friendly token-chunked FFN (scan + per-chunk "
                         "checkpoint) bounding the FFN backward transient")
+    p.add_argument("--attn_bwd_chunk", type=int, default=None,
+                   help="AD-friendly q-token-chunked self-attention "
+                        "bounding the attention backward working set "
+                        "(the 75,600-token single-chip enabler)")
     # optim
     p.add_argument("--learning_rate", type=float, default=1e-6)
     p.add_argument("--weight_decay", type=float, default=1e-4)
@@ -118,10 +122,12 @@ def main(argv=None):
 
     cfg = WAN_CONFIGS[args.task]
     mcfg = cfg.model
-    if args.ffn_bwd_chunk:
+    if args.ffn_bwd_chunk or args.attn_bwd_chunk:
         import dataclasses as _dc
 
-        mcfg = _dc.replace(mcfg, ffn_bwd_chunk=args.ffn_bwd_chunk)
+        mcfg = _dc.replace(mcfg,
+                           ffn_bwd_chunk=args.ffn_bwd_chunk,
+                           attn_bwd_chunk=args.attn_bwd_chunk)
     n_dev = len(jax.devices())
     sp = args.sp_size
     assert n_dev % sp == 0, f"sp_size {sp} must divide devices {n_dev}"

@@ -67,6 +67,14 @@ class WanModelConfig:
     # autodiff). The enabler for 75,600-token (720p) training steps
     # on a 16 GB chip.
     ffn_bwd_chunk: Optional[int] = None
+    # training-side q-token chunk for SELF-ATTENTION (ignored when the
+    # serving streams are on): full k/v are computed once, q-chunks are
+    # scanned with a per-chunk jax.checkpoint, so one chunk's
+    # q/rope/attn-out/o-proj transients (not the full-L set) are live
+    # during its backward. The r3 finding was that the 75,600-token
+    # training bound is precisely this per-layer attention-backward
+    # working set (docs/performance.md).
+    attn_bwd_chunk: Optional[int] = None
 
     @property
     def head_dim(self) -> int:

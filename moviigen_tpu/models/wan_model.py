@@ -487,6 +487,62 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
     return x
 
 
+def _self_attention_bwd_chunked(p: Params, xm: jnp.ndarray,
+                                cfg: WanModelConfig, rope: RopeTables,
+                                k_lens, compute_dtype,
+                                attn_backend: str,
+                                chunk: int) -> jnp.ndarray:
+    """AD-friendly q-chunked self-attention (training dual of the
+    serving-side ``_self_attention_streamed``, which is forward-only).
+
+    Full k/v are projected once (every q row attends to all keys); the
+    q side — projection → qk-norm → RoPE → attention → o-projection —
+    is scanned over token chunks with a per-chunk ``jax.checkpoint``,
+    so during ONE chunk's backward only that chunk's q/rope/attn-out/
+    o-proj transients are live instead of the full-L set. The r3
+    finding (docs/performance.md "Production-sequence-length training")
+    was that ~8 GB of full-L attention transients bound 75,600-token
+    training; this bounds them at [B, chunk, ·].
+
+    Numerics: per-q-row softmax is independent of other rows, so the
+    forward is identical to ``self_attention`` up to the fused-GEMM
+    split (same contraction per output column); k/v weight-gradient
+    contributions accumulate across chunks (fp32 adds reordered).
+    """
+    b, l, d = xm.shape
+    from ..ops.rope import full_width_tables, rope_rotate
+
+    k, v = _dense_multi([p["k"], p["v"]], xm, compute_dtype)
+    if cfg.qk_norm:
+        k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
+    k = rope_apply(_qkv_heads(k, cfg.num_heads), rope)
+    v = _qkv_heads(v, cfg.num_heads)
+
+    c = _divisor_chunk(l, chunk)
+    cos2, sin2 = full_width_tables(rope, l, cfg.head_dim)
+    xs = xm.reshape(b, l // c, c, d).transpose(1, 0, 2, 3)
+    cos_s = cos2.reshape(l // c, c, cfg.head_dim)
+    sin_s = sin2.reshape(l // c, c, cfg.head_dim)
+
+    def chunk_fn(xc, cosc, sinc):
+        qc = _dense(p["q"], xc, compute_dtype)
+        if cfg.qk_norm:
+            qc = rms_norm(qc, p["norm_q"]["scale"], eps=cfg.eps)
+        qc = rope_rotate(_qkv_heads(qc, cfg.num_heads), cosc, sinc)
+        oc = attention(qc, k, v, k_lens=k_lens, backend=attn_backend,
+                       compute_dtype=compute_dtype)
+        return _dense(p["o"], oc.reshape(b, c, d), compute_dtype)
+
+    chunk_ckpt = jax.checkpoint(chunk_fn)
+
+    def body(_, inp):
+        xc, cosc, sinc = inp
+        return None, chunk_ckpt(xc, cosc, sinc)
+
+    _, ys = jax.lax.scan(body, None, (xs, cos_s, sin_s))
+    return ys.transpose(1, 0, 2, 3).reshape(b, l, d)
+
+
 def _head_chunked(cfg: WanModelConfig, attn_fn) -> bool:
     hc = cfg.attn_head_chunk
     return bool(hc and attn_fn is None and 0 < hc < cfg.num_heads
@@ -748,6 +804,13 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
         x = _self_attention_streamed(
             sa, x, xm, cfg, rope, k_lens, compute_dtype, attn_backend,
             e[2], cfg.cross_attn_chunk)
+    elif (cfg.attn_bwd_chunk and self_attn_fn is None
+          and not _head_chunked(cfg, self_attn_fn)):
+        y = _self_attention_bwd_chunked(
+            sa, xm, cfg, rope, k_lens, compute_dtype, attn_backend,
+            cfg.attn_bwd_chunk)
+        x = (x.astype(jnp.float32)
+             + y.astype(jnp.float32) * e[2]).astype(rdt)
     else:
         y = self_attention(sa, xm, cfg, rope, k_lens,
                            compute_dtype, attn_backend,

@@ -112,6 +112,37 @@ def _pair_swap_matrix(d: int) -> np.ndarray:
     return p
 
 
+def full_width_tables(tables: RopeTables, l: int, d: int):
+    """Duplicated full-width [l, D] cos2/sin2 tables (the form
+    ``rope_apply`` builds internally), extended with the identity
+    rotation (cos=1, sin=0) for positions past the table — so a
+    token-chunked caller can slice per-chunk rows and rotate with
+    ``rope_rotate`` while keeping ``rope_apply``'s padded-sequence
+    pass-through semantics."""
+    lr = min(l, tables.seq_len)
+    cos = tables.cos[:lr]
+    sin = tables.sin[:lr]
+    cos2 = jnp.repeat(cos, 2, axis=1)
+    sin2 = jnp.stack([-sin, sin], axis=-1).reshape(lr, d)
+    if lr < l:
+        cos2 = jnp.concatenate(
+            [cos2, jnp.ones((l - lr, d), jnp.float32)], axis=0)
+        sin2 = jnp.concatenate(
+            [sin2, jnp.zeros((l - lr, d), jnp.float32)], axis=0)
+    return cos2, sin2
+
+
+def rope_rotate(x: jnp.ndarray, cos2: jnp.ndarray,
+                sin2: jnp.ndarray) -> jnp.ndarray:
+    """Rotate [B, L, N, D] by precomputed full-width [L, D] tables —
+    the chunk-sliceable core of ``rope_apply`` (identical arithmetic)."""
+    d = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    p = jnp.asarray(_pair_swap_matrix(d))
+    xs = jnp.matmul(xf, p, precision=jax.lax.Precision.HIGHEST)
+    return xf * cos2[None, :, None, :] + xs * sin2[None, :, None, :]
+
+
 def rope_apply(x: jnp.ndarray, tables: RopeTables) -> jnp.ndarray:
     """Rotate interleaved channel pairs of ``x`` by the per-token tables.
 

@@ -108,3 +108,73 @@ def test_hash_fallback_still_engages_on_missing_assets():
     assert isinstance(tok, HashTokenizer)
     ids, mask = tok("hello world", return_mask=True)
     assert ids.shape == (1, 8) and int(mask.sum()) == 3
+
+
+# ---------------------------------------------------------------------------
+# Production-vocab path (VERDICT r3 item 6): a synthetic 256,384-entry
+# umT5-layout Unigram tokenizer built offline — the real HF fast path
+# (Viterbi over the full piece table) and the T5 embedding gather both
+# run at the exact production vocab size.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="session")
+def full_vocab_asset(tmp_path_factory):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_full_tokenizer import VOCAB_SIZE, build
+
+    out = tmp_path_factory.mktemp("full_tok")
+    build(str(out))
+    return str(out), VOCAB_SIZE
+
+
+def test_full_vocab_hf_path(full_vocab_asset):
+    path, vocab_size = full_vocab_asset
+    assert vocab_size == 256384  # ref wan/modules/t5.py:462
+    tok = load_tokenizer(path, seq_len=64, clean="whitespace")
+    assert isinstance(tok, HuggingfaceTokenizer)
+    assert tok.vocab_size == 256384
+
+    ids, mask = tok(PROMPTS, return_mask=True)
+    assert ids.shape == (len(PROMPTS), 64)
+    assert ids.dtype.kind == "i"
+    assert int(ids.max()) < 256384 and int(ids.min()) >= 0
+    for b in range(len(PROMPTS)):
+        n = int(mask[b].sum())
+        assert ids[b, n - 1] == 1, "last true token must be </s> (id 1)"
+        assert np.all(ids[b, n:] == 0), "pad region must be <pad> (id 0)"
+    # multi-piece segmentation really happened (not char-level/unk soup)
+    n0 = int(mask[0].sum())
+    assert 3 < n0 < 40
+    assert not np.any(ids[0, :n0 - 1] == 2), "no <unk> on ascii prompts"
+
+
+def test_full_vocab_t5_embedding_gather(full_vocab_asset):
+    """Drive the actual T5 encoder (tiny dims, PRODUCTION vocab size)
+    from real full-vocab token ids — the embedding gather at
+    [256384, d] is the interop step the tiny-vocab tests never
+    exercised."""
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import T5Config
+    from moviigen_tpu.models import t5 as t5m
+
+    path, vocab_size = full_vocab_asset
+    tok = load_tokenizer(path, seq_len=16, clean="whitespace")
+    ids, mask = tok(["a cinematic shot of a cat"], return_mask=True)
+
+    cfg = T5Config(vocab_size=vocab_size, dim=16, dim_attn=16,
+                   dim_ffn=32, num_heads=2, num_layers=1)
+    params = t5m.init_params(jax.random.PRNGKey(0), cfg,
+                             dtype=jnp.float32)
+    emb = params["token_embedding"]
+    assert emb.shape[0] == 256384
+    out = t5m.encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    assert out.shape == (1, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+    # gather really hit distinct full-range rows
+    assert len(set(ids[0].tolist())) > 3

@@ -390,3 +390,77 @@ def test_ffn_bwd_chunk_grads_match_unchunked():
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_attn_bwd_chunk_grads_match_unchunked():
+    """cfg.attn_bwd_chunk (q-chunked self-attention with per-chunk
+    checkpoint — bounding the attention-backward working set, VERDICT
+    r3 item 5) leaves the forward bit-identical and gradients equal up
+    to fp32 accumulation order of the k/v weight grads."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    cfg_c = dataclasses.replace(cfg, attn_bwd_chunk=12)  # 32 tok -> c=8
+    params = wan_model.init_params(jax.random.PRNGKey(3), cfg,
+                                   dtype=jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([500.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+
+    def loss(p, c):
+        out = wan_model.forward(p, x, t, ctx, c, rope,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla", remat=True)
+        return jnp.sum(jnp.square(out))
+
+    l1, g1 = jax.value_and_grad(loss)(params, cfg)
+    l2, g2 = jax.value_and_grad(loss)(params, cfg_c)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
+def test_attn_bwd_chunk_padded_seq_len():
+    """attn_bwd_chunk with a padded sequence (seq_len > tokens): the
+    pad positions pass through RoPE unrotated (identity rows of the
+    full-width tables) and k_lens masks them — must match the
+    unchunked padded forward."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    cfg_c = dataclasses.replace(cfg, attn_bwd_chunk=16)
+    params = wan_model.init_params(jax.random.PRNGKey(4), cfg,
+                                   dtype=jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([321.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    ref = wan_model.forward(params, x, t, ctx, cfg, rope, seq_len=40,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    out = wan_model.forward(params, x, t, ctx, cfg_c, rope, seq_len=40,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
