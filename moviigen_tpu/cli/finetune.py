@@ -213,6 +213,21 @@ def main(argv=None):
     # would silently update every k² microbatches)
     opt = make_optimizer(tc)
     opt_state = opt.init(trainable)
+    if mesh is not None and not args.use_lora:
+        # optimizer moments mirror the param shardings (FSDP sharded
+        # optimizer state — replicated fp32 m/v would be 2x56 GB/chip
+        # at 14B); scalars/counters replicate
+        from ..parallel.sharding import opt_state_specs, dit_param_specs
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as _P
+
+        ospecs = opt_state_specs(opt_state, trainable,
+                                 dit_param_specs(trainable))
+        del _P  # specs tree mirrors opt_state leaf-for-leaf
+        opt_state = jax.tree_util.tree_map(
+            lambda leaf, sp: jax.device_put(
+                leaf, NamedSharding(mesh, sp)),
+            opt_state, ospecs)
 
     # unified jitted step supporting full / LoRA fine-tuning
     from ..diffusion.flow_match import (

@@ -75,6 +75,15 @@ class WanModelConfig:
     # training bound is precisely this per-layer attention-backward
     # working set (docs/performance.md).
     attn_bwd_chunk: Optional[int] = None
+    # Streamed-path loop implementation: "fori" (lax.fori_loop +
+    # dynamic slices — minimal HLO, compiles once per body) or
+    # "unroll" (python loops + static slices — larger HLO, identical
+    # math). The unrolled form exists because the fori form's execute
+    # deterministically faults the axon-v5e TPU worker (r3 bisect,
+    # docs/performance.md "Single-chip 1080P-81f"); it avoids both
+    # suspect constructs: Pallas kernels inside dynamic loops and
+    # dynamic-sliced int4-packed weights.
+    stream_impl: str = "fori"
 
     @property
     def head_dim(self) -> int:

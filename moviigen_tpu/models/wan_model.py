@@ -287,6 +287,16 @@ def _qkv_heads(x, num_heads):
     return x.reshape(b, l, num_heads, d // num_heads)
 
 
+def _slice1(a, start, size: int, axis: int):
+    """Slice helper that lowers to a STATIC slice when ``start`` is a
+    python int (the unrolled stream impl) and a dynamic slice when it
+    is traced (the fori impl)."""
+    if isinstance(start, (int, np.integer)):
+        return jax.lax.slice_in_dim(a, int(start), int(start) + size,
+                                    axis=axis)
+    return jax.lax.dynamic_slice_in_dim(a, start, size, axis=axis)
+
+
 def _slice_cols_dyn(p: Params, start, cols: int) -> Params:
     """Column-slice a (possibly quantized) linear param tree along the
     output dim at a traced offset. Works for all leaf formats: dense
@@ -296,8 +306,7 @@ def _slice_cols_dyn(p: Params, start, cols: int) -> Params:
     for key in ("kernel", "q8", "q4", "scale", "bias"):
         if key in p:
             a = p[key]
-            sl[key] = jax.lax.dynamic_slice_in_dim(
-                a, start, cols, axis=a.ndim - 1)
+            sl[key] = _slice1(a, start, cols, axis=a.ndim - 1)
     if "a8" in p:
         sl["a8"] = p["a8"]
     return sl
@@ -323,19 +332,16 @@ def _slice_rows_dyn(p: Params, start, rows: int) -> Params:
     formats are present (see ``_can_row_slice``)."""
     sl = {}
     if "kernel" in p:
-        sl["kernel"] = jax.lax.dynamic_slice_in_dim(
-            p["kernel"], start, rows, axis=0)
+        sl["kernel"] = _slice1(p["kernel"], start, rows, axis=0)
     if "q8" in p:
-        sl["q8"] = jax.lax.dynamic_slice_in_dim(
-            p["q8"], start, rows, axis=0)
+        sl["q8"] = _slice1(p["q8"], start, rows, axis=0)
         sl["scale"] = p["scale"]  # int8 scales are per-OUTPUT channel
     if "q4" in p:
         cin = p["q4"].shape[0] * 2
         gsz = cin // p["scale"].shape[0]
-        sl["q4"] = jax.lax.dynamic_slice_in_dim(
-            p["q4"], start // 2, rows // 2, axis=0)
-        sl["scale"] = jax.lax.dynamic_slice_in_dim(
-            p["scale"], start // gsz, rows // gsz, axis=0)
+        sl["q4"] = _slice1(p["q4"], start // 2, rows // 2, axis=0)
+        sl["scale"] = _slice1(p["scale"], start // gsz, rows // gsz,
+                              axis=0)
     if "a8" in p:
         sl["a8"] = p["a8"]
     return sl
@@ -374,8 +380,10 @@ def _self_attention_head_chunked(p: Params, x: jnp.ndarray,
     hc = cfg.attn_head_chunk
     cols = hc * hd
     ng = cfg.num_heads // hc
+    unroll = cfg.stream_impl == "unroll"
 
-    inv_q, inv_k = _qk_fulldim_stats(p, x, cfg, compute_dtype, ng, cols)
+    inv_q, inv_k = _qk_fulldim_stats(p, x, cfg, compute_dtype, ng, cols,
+                                     unroll=unroll)
 
     def group_body(g, out):
         og = _group_attention(p, x, g, cols, hc, inv_q, inv_k, cfg,
@@ -383,14 +391,18 @@ def _self_attention_head_chunked(p: Params, x: jnp.ndarray,
         return jax.lax.dynamic_update_slice_in_dim(
             out, og, g * hc, axis=2)
 
-    out = jax.lax.fori_loop(
-        0, ng, group_body,
-        jnp.zeros((b, l, cfg.num_heads, hd), compute_dtype))
+    out = jnp.zeros((b, l, cfg.num_heads, hd), compute_dtype)
+    if unroll:
+        for g in range(ng):
+            out = group_body(g, out)
+    else:
+        out = jax.lax.fori_loop(0, ng, group_body, out)
     return out.reshape(b, l, d)
 
 
 def _qk_fulldim_stats(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
-                      compute_dtype, ng: int, cols: int):
+                      compute_dtype, ng: int, cols: int,
+                      unroll: bool = False):
     """Per-token inverse-RMS of the FULL q/k projections (the
     reference's qk-norm statistic spans all heads, model.py:70-86),
     accumulated a head group at a time — recomputes the q/k GEMM
@@ -412,9 +424,14 @@ def _qk_fulldim_stats(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
                             axis=-1, keepdims=True)
         return ssq, ssk
 
-    ssq, ssk = jax.lax.fori_loop(
-        0, ng, stat_body, (jnp.zeros((b, l, 1), jnp.float32),
-                           jnp.zeros((b, l, 1), jnp.float32)))
+    carry = (jnp.zeros((b, l, 1), jnp.float32),
+             jnp.zeros((b, l, 1), jnp.float32))
+    if unroll:
+        for g in range(ng):
+            carry = stat_body(g, carry)
+        ssq, ssk = carry
+    else:
+        ssq, ssk = jax.lax.fori_loop(0, ng, stat_body, carry)
     return (jax.lax.rsqrt(ssq / d + cfg.eps),
             jax.lax.rsqrt(ssk / d + cfg.eps))
 
@@ -466,8 +483,10 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
     hc = cfg.attn_head_chunk
     cols = hc * cfg.head_dim
     ng = cfg.num_heads // hc
+    unroll = cfg.stream_impl == "unroll"
 
-    inv_q, inv_k = _qk_fulldim_stats(p, xm, cfg, compute_dtype, ng, cols)
+    inv_q, inv_k = _qk_fulldim_stats(p, xm, cfg, compute_dtype, ng, cols,
+                                     unroll=unroll)
 
     def group_body(g, xb):
         og = _group_attention(p, xm, g, cols, hc, inv_q, inv_k, cfg,
@@ -478,9 +497,13 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
             xb, chunk,
             lambda xc, oc: _dense(wo, oc, compute_dtype)
             .astype(jnp.float32) * e2,
-            aux=og)
+            aux=og, unroll=unroll)
 
-    x = jax.lax.fori_loop(0, ng, group_body, x)
+    if unroll:
+        for g in range(ng):
+            x = group_body(g, x)
+    else:
+        x = jax.lax.fori_loop(0, ng, group_body, x)
     if "bias" in p["o"]:
         x = (x.astype(jnp.float32)
              + p["o"]["bias"].astype(jnp.float32) * e2).astype(x.dtype)
@@ -577,7 +600,8 @@ def self_attention(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
     return _dense(p["o"], out.reshape(b, l, cfg.dim), compute_dtype)
 
 
-def _token_stream(x: jnp.ndarray, chunk: Optional[int], body):
+def _token_stream(x: jnp.ndarray, chunk: Optional[int], body,
+                  unroll: bool = False):
     """Stream tokens through ``body`` in fixed chunks: per-token ops
     (FFN, cross-attention) have no cross-token coupling, so results are
     identical — only the [B, L, ·] transients shrink to [B, chunk, ·].
@@ -587,7 +611,12 @@ def _token_stream(x: jnp.ndarray, chunk: Optional[int], body):
     likewise (plus layout transposes), which *adds* ~4 copies of the
     [B, L, D] stream — measured via XLA memory_analysis at 131k tokens
     that overhead exceeded the transient being saved. Here the only
-    extra buffer is the output (and a pad copy when chunk ∤ L)."""
+    extra buffer is the output (and a pad copy when chunk ∤ L).
+
+    ``unroll=True`` (cfg.stream_impl): python loop + static slices +
+    in-place updates at constant offsets — identical math and the same
+    buffer structure, no dynamic loop around the kernel (the fori
+    form's execute faults the axon worker, r3 bisect)."""
     b, l, d = x.shape
     if not chunk or l <= chunk:
         return body(x)
@@ -598,11 +627,16 @@ def _token_stream(x: jnp.ndarray, chunk: Optional[int], body):
     out0 = jnp.zeros((b, lp, y_shape.shape[-1]), y_shape.dtype)
 
     def step(i, out):
-        xc = jax.lax.dynamic_slice_in_dim(xp, i * chunk, chunk, axis=1)
+        xc = _slice1(xp, i * chunk, chunk, axis=1)
         return jax.lax.dynamic_update_slice_in_dim(
             out, body(xc), i * chunk, axis=1)
 
-    out = jax.lax.fori_loop(0, lp // chunk, step, out0)
+    if unroll:
+        out = out0
+        for i in range(lp // chunk):
+            out = step(i, out)
+    else:
+        out = jax.lax.fori_loop(0, lp // chunk, step, out0)
     return out[:, :l]
 
 
@@ -623,7 +657,8 @@ def _divisor_chunk(l: int, chunk: int) -> int:
 
 
 def _stream_residual(x: jnp.ndarray, chunk: Optional[int], delta,
-                     aux: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                     aux: Optional[jnp.ndarray] = None,
+                     unroll: bool = False) -> jnp.ndarray:
     """In-place residual update ``x += delta(x_chunk[, aux_chunk])``
     streamed over token chunks.
 
@@ -657,12 +692,15 @@ def _stream_residual(x: jnp.ndarray, chunk: Optional[int], delta,
     c = _divisor_chunk(l, chunk)
 
     def step(i, xb):
-        xc = jax.lax.dynamic_slice_in_dim(xb, i * c, c, axis=1)
-        auxc = None if aux is None else \
-            jax.lax.dynamic_slice_in_dim(aux, i * c, c, axis=1)
+        xc = _slice1(xb, i * c, c, axis=1)
+        auxc = None if aux is None else _slice1(aux, i * c, c, axis=1)
         return jax.lax.dynamic_update_slice_in_dim(
             xb, upd(xc, auxc), i * c, axis=1)
 
+    if unroll:
+        for i in range(l // c):
+            x = step(i, x)
+        return x
     return jax.lax.fori_loop(0, l // c, step, x)
 
 
@@ -702,7 +740,8 @@ def cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     that exact behavior."""
     k, v = _cross_kv(p, context, cfg, compute_dtype)
     body = _cross_q_body(p, k, v, cfg, compute_dtype, attn_backend)
-    return _token_stream(x, cfg.cross_attn_chunk, body)
+    return _token_stream(x, cfg.cross_attn_chunk, body,
+                         unroll=cfg.stream_impl == "unroll")
 
 
 def _i2v_cross_kv(p: Params, context: jnp.ndarray, cfg: WanModelConfig,
@@ -753,7 +792,8 @@ def i2v_cross_attention(p: Params, x: jnp.ndarray, context: jnp.ndarray,
     k_t, v_t, k_i, v_i = _i2v_cross_kv(p, context, cfg, compute_dtype)
     body = _i2v_cross_q_body(p, k_t, v_t, k_i, v_i, cfg, compute_dtype,
                              attn_backend)
-    return _token_stream(x, cfg.cross_attn_chunk, body)
+    return _token_stream(x, cfg.cross_attn_chunk, body,
+                         unroll=cfg.stream_impl == "unroll")
 
 
 def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
@@ -840,7 +880,8 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
             xn = xc
         return q_body(xn.astype(compute_dtype))
 
-    x = _stream_residual(x, cfg.cross_attn_chunk, cross_delta)
+    x = _stream_residual(x, cfg.cross_attn_chunk, cross_delta,
+                         unroll=cfg.stream_impl == "unroll")
 
     # FFN with AdaLN (model.py:307-309), streamed likewise
     def ffn_delta(xc):
@@ -852,7 +893,8 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     if cfg.ffn_bwd_chunk and not cfg.ffn_chunk:
         y = _chunked_delta_scan(x, cfg.ffn_bwd_chunk, ffn_delta)
         return (x.astype(jnp.float32) + y).astype(rdt)
-    return _stream_residual(x, cfg.ffn_chunk, ffn_delta)
+    return _stream_residual(x, cfg.ffn_chunk, ffn_delta,
+                            unroll=cfg.stream_impl == "unroll")
 
 
 def _chunked_delta_scan(x: jnp.ndarray, chunk: int, delta) -> jnp.ndarray:
@@ -898,7 +940,8 @@ def _ffn(p: Params, xf: jnp.ndarray, cfg: WanModelConfig,
         h = jax.nn.gelu(h, approximate=True)  # GELU-tanh (model.py:268)
         return _dense(p["fc2"], h, compute_dtype)
 
-    return _token_stream(xf, cfg.ffn_chunk, body)
+    return _token_stream(xf, cfg.ffn_chunk, body,
+                         unroll=cfg.stream_impl == "unroll")
 
 
 # --------------------------------------------------------------------------
@@ -1060,7 +1103,8 @@ def head_output(params: Params, xr: jnp.ndarray, e: jnp.ndarray,
             * (1 + hm[:, 1][:, None, :]) + hm[:, 0][:, None, :]
         return _dense(params["head"]["head"], xh, jnp.float32)
 
-    return _token_stream(xr, cfg.ffn_chunk, body)
+    return _token_stream(xr, cfg.ffn_chunk, body,
+                         unroll=cfg.stream_impl == "unroll")
 
 
 def forward(params: Params, x: jnp.ndarray, t: jnp.ndarray,

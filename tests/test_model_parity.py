@@ -451,3 +451,42 @@ def test_chunked_delta_scan_non_divisor_chunk():
     x = jnp.arange(2 * 10 * 3, dtype=jnp.float32).reshape(2, 10, 3)
     out = _chunked_delta_scan(x, 4, lambda xc: 2.0 * xc)
     np.testing.assert_allclose(np.asarray(out), 2.0 * np.asarray(x))
+
+
+def test_stream_impl_unroll_matches_fori():
+    """cfg.stream_impl='unroll' (python loops + static slices — the
+    crash-workaround form of the streamed paths) must match the fori
+    implementation and the unstreamed forward exactly."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(2), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([123.0], jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    ref = wan_model.forward(params, x, t, ctx, cfg, rope,
+                            compute_dtype=jnp.float32, attn_backend="xla")
+    streams = dict(attn_head_chunk=cfg.num_heads // 2,
+                   cross_attn_chunk=12, ffn_chunk=12)
+    out_f = wan_model.forward(
+        params, x, t, ctx,
+        dataclasses.replace(cfg, stream_impl="fori", **streams),
+        rope, compute_dtype=jnp.float32, attn_backend="xla")
+    out_u = wan_model.forward(
+        params, x, t, ctx,
+        dataclasses.replace(cfg, stream_impl="unroll", **streams),
+        rope, compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_array_equal(np.asarray(out_u), np.asarray(out_f))
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

@@ -46,6 +46,11 @@ def main():
                          "checkpoint) — the 75,600-token enabler; the "
                          "serving streams (--ffn_chunk) GROW training "
                          "memory instead")
+    ap.add_argument("--attn_bwd_chunk", type=int, default=None,
+                    help="AD-friendly q-token chunk for self-attention "
+                         "(per-chunk checkpoint): bounds the per-layer "
+                         "attention-backward working set — the r3 bound "
+                         "on 75,600-token single-chip training")
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--remat_group", type=int, default=1,
                     help="checkpoint every g-th residual (carry stack "
@@ -77,11 +82,12 @@ def main():
 
     cfg = WAN_CONFIGS[args.task].model
     if (args.ffn_chunk or args.attn_head_chunk or args.cross_attn_chunk
-            or args.ffn_bwd_chunk):
+            or args.ffn_bwd_chunk or args.attn_bwd_chunk):
         cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                                   attn_head_chunk=args.attn_head_chunk,
                                   cross_attn_chunk=args.cross_attn_chunk,
-                                  ffn_bwd_chunk=args.ffn_bwd_chunk)
+                                  ffn_bwd_chunk=args.ffn_bwd_chunk,
+                                  attn_bwd_chunk=args.attn_bwd_chunk)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frame_num - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)

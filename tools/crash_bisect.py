@@ -81,6 +81,25 @@ RUNGS = {
             "--quant", "int4", "--residual_dtype", "bfloat16",
             "--attn_head_chunk", "8", "--cross_attn_chunk", "16384",
             "--ffn_chunk", "16384"]),
+    # ---- r4 rungs: stream_impl=unroll (python loops + static slices)
+    # avoids both suspect constructs (Pallas inside fori; dynamic-sliced
+    # int4 weights). E9 cheap reproducer, E10 mid-scale, E11 headline.
+    "E9": ("1.3B int4 all streams, stream_impl=unroll",
+           ["--task", "t2v-1.3B", "--size", "480*832", "--frames", "81",
+            "--quant", "int4", "--residual_dtype", "bfloat16",
+            "--attn_head_chunk", "4", "--cross_attn_chunk", "8192",
+            "--ffn_chunk", "8192", "--stream_impl", "unroll"]),
+    "E10": ("14B int4 720P all streams, stream_impl=unroll",
+            ["--task", "t2v-14B", "--size", "1280*720", "--frames", "81",
+             "--quant", "int4", "--residual_dtype", "bfloat16",
+             "--attn_head_chunk", "8", "--cross_attn_chunk", "16384",
+             "--ffn_chunk", "16384", "--stream_impl", "unroll"]),
+    "E11": ("14B int4 1920x832 all streams, stream_impl=unroll — "
+            "the headline config on the workaround impl",
+            ["--task", "t2v-14B", "--size", "1920*832", "--frames", "81",
+             "--quant", "int4", "--residual_dtype", "bfloat16",
+             "--attn_head_chunk", "8", "--cross_attn_chunk", "16384",
+             "--ffn_chunk", "16384", "--stream_impl", "unroll"]),
 }
 
 
@@ -101,9 +120,16 @@ def main():
     print(f"[{args.rung}] {desc}", flush=True)
 
     if not args.skip_health_wait:
-        rc = subprocess.run(
-            [sys.executable, "tools/tpu_health.py", "--wait"],
-            timeout=3600).returncode
+        # a wedged worker can take >1 h to drain (docs/performance.md
+        # "Operating the remote worker") — give the health wait 4 h and
+        # treat a timeout as a verdict, not a crash of this driver
+        try:
+            rc = subprocess.run(
+                [sys.executable, "tools/tpu_health.py", "--wait"],
+                timeout=4 * 3600).returncode
+        except subprocess.TimeoutExpired:
+            print("health wait timed out after 4 h; aborting", flush=True)
+            return 2
         if rc != 0:
             print("health wait failed; aborting", flush=True)
             return 2

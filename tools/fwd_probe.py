@@ -43,6 +43,11 @@ def main():
     ap.add_argument("--no_attn_o_stream", action="store_true",
                     help="head-chunked accumulator + whole o-projection "
                          "instead of the streamed o (bisect knob)")
+    ap.add_argument("--stream_impl", default="fori",
+                    choices=["fori", "unroll"],
+                    help="streamed-path loop implementation: 'unroll' "
+                         "replaces fori_loop + dynamic slices with "
+                         "python loops + static slices (crash bisect)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--attn_backend", default="pallas",
                     help="'xla' for CPU smoke runs")
@@ -60,7 +65,8 @@ def main():
     cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                               attn_head_chunk=args.attn_head_chunk,
                               cross_attn_chunk=args.cross_attn_chunk,
-                              attn_o_stream=not args.no_attn_o_stream)
+                              attn_o_stream=not args.no_attn_o_stream,
+                              stream_impl=args.stream_impl)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frames - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
@@ -68,7 +74,7 @@ def main():
     log(f"{args.task} {args.quant} {w}x{h}x{args.frames}f "
         f"tokens={tokens} hc={cfg.attn_head_chunk} "
         f"cross={cfg.cross_attn_chunk} ffn={cfg.ffn_chunk} "
-        f"rdt={args.residual_dtype}")
+        f"rdt={args.residual_dtype} impl={cfg.stream_impl}")
 
     if args.quant != "none":
         from moviigen_tpu.ops.quantization import device_init_quantized_wan

@@ -31,6 +31,8 @@ def main():
     ap.add_argument("--no_attn_o_stream", action="store_true",
                     help="head-chunked accumulator + whole o-projection "
                          "instead of the streamed o (bisect knob)")
+    ap.add_argument("--stream_impl", default="fori",
+                    choices=["fori", "unroll"])
     ap.add_argument("--compile", action="store_true",
                     help="run full backend compile (buffer assignment) "
                          "instead of lowering only")
@@ -55,7 +57,8 @@ def main():
     cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                               attn_head_chunk=args.attn_head_chunk,
                               cross_attn_chunk=args.cross_attn_chunk,
-                              attn_o_stream=not args.no_attn_o_stream)
+                              attn_o_stream=not args.no_attn_o_stream,
+                              stream_impl=args.stream_impl)
     print(f"tokens={tokens} ffn_chunk={cfg.ffn_chunk} "
           f"attn_head_chunk={cfg.attn_head_chunk} "
           f"cross_attn_chunk={cfg.cross_attn_chunk}", flush=True)

@@ -218,7 +218,11 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
         make_train_step
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    cfg = WAN_CONFIGS[task].model.replace(ffn_bwd_chunk=9450)
+    # per-layer remat only: at sp=8 the per-chip activations are 1/8,
+    # so the single-chip memory recipe (nested remat groups, chunked-FFN
+    # backward) is unnecessary — and its scan-of-scan structure blows
+    # the XLA:CPU compile memory on this 1-core/125 GB probe host
+    cfg = WAN_CONFIGS[task].model
     w, h = size
     fp = (frames - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
@@ -228,8 +232,7 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
           f"mesh={dict(mesh.shape)} (Ulysses SP + FSDP + AdamW)",
           flush=True)
 
-    tc = TrainConfig(remat=True, remat_group=4,
-                     residual_dtype="bfloat16")
+    tc = TrainConfig(remat=True, residual_dtype="bfloat16")
     rope = rope_3d_freqs(grid, cfg.head_dim)
     step = make_train_step(cfg, tc, rope, attn_backend="chunked",
                            mesh=mesh)
@@ -271,8 +274,8 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
     compiled = lowered.compile()
     print(f"[train] compiled in {time.time() - t0:.0f}s", flush=True)
     return _mem_report(f"train sp={n_devices} {tokens}tok 14B "
-                       f"(fp32 master, bf16 residuals, remat_group=4, "
-                       f"ffn_bwd_chunk)", compiled,
+                       f"(fp32 master, bf16 residuals, per-layer "
+                       f"remat)", compiled,
                        param_shapes=params_shapes,
                        module_hint="jit_step", specs=specs,
                        n_devices=n_devices)
