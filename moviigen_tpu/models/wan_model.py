@@ -287,6 +287,19 @@ def _qkv_heads(x, num_heads):
     return x.reshape(b, l, num_heads, d // num_heads)
 
 
+def _serialize(carry):
+    """Order an unrolled stream's iterations without a dynamic loop.
+
+    The fori stream impls rely on the loop carry to force iterations to
+    run serially so one iteration's transients die before the next's
+    are allocated. A plain Python unroll has no such edge: XLA's
+    scheduler floats several chunks'/groups' projections live at once,
+    which measured +3.2 GB of temps at the 131k-token flagship point
+    (over the 16 GB v5e budget). An ``optimization_barrier`` on the
+    carry restores the serial buffer lifetime with zero math."""
+    return jax.lax.optimization_barrier(carry)
+
+
 def _slice1(a, start, size: int, axis: int):
     """Slice helper that lowers to a STATIC slice when ``start`` is a
     python int (the unrolled stream impl) and a dynamic slice when it
@@ -394,7 +407,7 @@ def _self_attention_head_chunked(p: Params, x: jnp.ndarray,
     out = jnp.zeros((b, l, cfg.num_heads, hd), compute_dtype)
     if unroll:
         for g in range(ng):
-            out = group_body(g, out)
+            out = _serialize(group_body(g, out))
     else:
         out = jax.lax.fori_loop(0, ng, group_body, out)
     return out.reshape(b, l, d)
@@ -428,7 +441,7 @@ def _qk_fulldim_stats(p: Params, x: jnp.ndarray, cfg: WanModelConfig,
              jnp.zeros((b, l, 1), jnp.float32))
     if unroll:
         for g in range(ng):
-            carry = stat_body(g, carry)
+            carry = _serialize(stat_body(g, carry))
         ssq, ssk = carry
     else:
         ssq, ssk = jax.lax.fori_loop(0, ng, stat_body, carry)
@@ -501,7 +514,7 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
 
     if unroll:
         for g in range(ng):
-            x = group_body(g, x)
+            x = _serialize(group_body(g, x))
     else:
         x = jax.lax.fori_loop(0, ng, group_body, x)
     if "bias" in p["o"]:
@@ -634,7 +647,7 @@ def _token_stream(x: jnp.ndarray, chunk: Optional[int], body,
     if unroll:
         out = out0
         for i in range(lp // chunk):
-            out = step(i, out)
+            out = _serialize(step(i, out))
     else:
         out = jax.lax.fori_loop(0, lp // chunk, step, out0)
     return out[:, :l]
@@ -699,7 +712,7 @@ def _stream_residual(x: jnp.ndarray, chunk: Optional[int], delta,
 
     if unroll:
         for i in range(l // c):
-            x = step(i, x)
+            x = _serialize(step(i, x))
         return x
     return jax.lax.fori_loop(0, l // c, step, x)
 
@@ -893,8 +906,12 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     if cfg.ffn_bwd_chunk and not cfg.ffn_chunk:
         y = _chunked_delta_scan(x, cfg.ffn_bwd_chunk, ffn_delta)
         return (x.astype(jnp.float32) + y).astype(rdt)
-    return _stream_residual(x, cfg.ffn_chunk, ffn_delta,
-                            unroll=cfg.stream_impl == "unroll")
+    # The FFN stream stays fori even under stream_impl='unroll': the
+    # fori FFN-only form is execute-proven on hardware (the 720P
+    # headline runs it; the r3 crash bisect exonerated it), and fori's
+    # carried-loop buffer profile is tighter than an unrolled chain —
+    # only the streamed ATTENTION constructs need the workaround.
+    return _stream_residual(x, cfg.ffn_chunk, ffn_delta)
 
 
 def _chunked_delta_scan(x: jnp.ndarray, chunk: int, delta) -> jnp.ndarray:
@@ -940,8 +957,9 @@ def _ffn(p: Params, xf: jnp.ndarray, cfg: WanModelConfig,
         h = jax.nn.gelu(h, approximate=True)  # GELU-tanh (model.py:268)
         return _dense(p["fc2"], h, compute_dtype)
 
-    return _token_stream(xf, cfg.ffn_chunk, body,
-                         unroll=cfg.stream_impl == "unroll")
+    # fori regardless of stream_impl — see the FFN-stage note in
+    # attention_block (exonerated construct, tighter buffers).
+    return _token_stream(xf, cfg.ffn_chunk, body)
 
 
 # --------------------------------------------------------------------------

@@ -73,47 +73,48 @@ def _xla_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     return out.astype(v.dtype)
 
 
-def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                       k_lens: Optional[jnp.ndarray], scale: float,
-                       block_k: Optional[int] = None) -> jnp.ndarray:
-    """Memory-bounded online-softmax attention as a ``lax.scan`` over key
-    blocks — differentiable (used as the flash kernel's backward reference
-    and as a no-Pallas fallback for long sequences). Peak memory
-    O(B·N·Lq·block_k) instead of O(B·N·Lq·Lk).
+def _block_penalty(jidx, bk, k_lens):
+    """Additive key mask for one block: 0 where the key is real,
+    -1e30 past ``k_lens`` — [B, 1, 1, bk] fp32. Kept ADDITIVE (folded
+    into the logits) instead of a ``where`` on the [B,N,Lq,bk] scores:
+    XLA CSE'd the broadcast boolean between the forward and backward
+    scans and materialized ALL blocks' full-size pred masks
+    ([nblocks,B,N,Lq,bk] — 28.6 GB at the 14B sp=8 training point)."""
+    key_idx = jidx * bk + jnp.arange(bk)
+    mask = key_idx[None, None, None, :] < k_lens[:, None, None, None]
+    return jnp.where(mask, 0.0, jnp.float32(-1e30))
 
-    ``MOVIIGEN_CHUNKED_BLOCK_K`` overrides the 1024 default at trace
-    time — the AOT memory probes (tools/mem_probe_sp.py) shrink it so
-    the CPU-mesh buffer profile approximates the Pallas kernel's (whose
-    logits live in VMEM tiles, not HBM)."""
-    if block_k is None:
-        import os
 
-        block_k = int(os.environ.get("MOVIIGEN_CHUNKED_BLOCK_K", "1024"))
-    b, lq, n, d = q.shape
-    lk = k.shape[1]
-    bk = min(block_k, lk)
-    nblocks = -(-lk // bk)
+def _kv_blocks(k, v, bk, nblocks):
+    """Pad k/v to a block multiple and stack: [nblocks, B, bk, N, D]."""
+    b, lk, n, d = k.shape
     lk_p = nblocks * bk
-
     kp = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    if k_lens is None:
-        k_lens = jnp.full((b,), lk, jnp.int32)
-
-    # [nblocks, B, bk, N, D]
     kb = kp.reshape(b, nblocks, bk, n, d).transpose(1, 0, 2, 3, 4)
     vb = vp.reshape(b, nblocks, bk, n, d).transpose(1, 0, 2, 3, 4)
+    return kb, vb
 
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _chunked_attention_p(q, k, v, k_lens, scale, bk):
+    out, _ = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
+    return out
+
+
+def _chunked_fwd_scan(q, k, v, k_lens, scale, bk):
+    """Online-softmax forward over key blocks; returns (out, lse)."""
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    nblocks = -(-lk // bk)
+    kb, vb = _kv_blocks(k, v, bk, nblocks)
     qf = q.astype(jnp.float32)
 
     def body(carry, inp):
         m_prev, l_prev, acc = carry
         (kc, vc, jidx) = inp
         s = jnp.einsum("blnd,bsnd->bnls", qf, kc.astype(jnp.float32))
-        s = s * scale
-        key_idx = jidx * bk + jnp.arange(bk)
-        mask = key_idx[None, None, None, :] < k_lens[:, None, None, None]
-        s = jnp.where(mask, s, jnp.float32(-1e30))
+        s = s * scale + _block_penalty(jidx, bk, k_lens)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_next)
@@ -130,7 +131,83 @@ def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         body, (m0, l0, acc0), (kb, vb, jnp.arange(nblocks)))
     l = jnp.where(l == 0.0, 1.0, l)
     out = acc / l.transpose(0, 2, 1, 3)
-    return out.astype(v.dtype)
+    return out.astype(v.dtype), m + jnp.log(l)  # lse [B,N,Lq,1]
+
+
+def _chunked_fwd_rule(q, k, v, k_lens, scale, bk):
+    out, lse = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
+    return out, (q, k, v, k_lens, out, lse)
+
+
+def _chunked_bwd_rule(scale, bk, res, dout):
+    """Flash-style backward: a second scan over key blocks recomputing
+    normalized probabilities from the saved LSE, so peak memory stays
+    O(B·N·Lq·bk) — plain autodiff through the forward scan would stash
+    per-block [B,N,Lq,bk] residuals for ALL blocks (O(Lq·Lk), 2.2 TB at
+    the 14B sp=8 75.6k-token training point)."""
+    q, k, v, k_lens, out, lse = res
+    b, lq, n, d = q.shape
+    lk = k.shape[1]
+    nblocks = -(-lk // bk)
+    kb, vb = _kv_blocks(k, v, bk, nblocks)
+    qf = q.astype(jnp.float32)
+    doutf = dout.astype(jnp.float32)
+    # delta_i = sum_d dout_i * out_i  (rowwise), [B,N,Lq,1]
+    delta = jnp.sum(doutf * out.astype(jnp.float32), axis=-1)
+    delta = delta.transpose(0, 2, 1)[..., None]
+
+    def body(dq_acc, inp):
+        kc, vc, jidx = inp
+        kcf = kc.astype(jnp.float32)
+        s = jnp.einsum("blnd,bsnd->bnls", qf, kcf) * scale \
+            + _block_penalty(jidx, bk, k_lens)
+        p = jnp.exp(s - lse)
+        dp = jnp.einsum("blnd,bsnd->bnls", doutf, vc.astype(jnp.float32))
+        ds = p * (dp - delta)
+        dq_acc = dq_acc + scale * jnp.einsum("bnls,bsnd->blnd", ds, kcf)
+        dkc = scale * jnp.einsum("bnls,blnd->bsnd", ds, qf)
+        dvc = jnp.einsum("bnls,blnd->bsnd", p, doutf)
+        return dq_acc, (dkc, dvc)
+
+    dq, (dkb, dvb) = jax.lax.scan(
+        body, jnp.zeros_like(qf), (kb, vb, jnp.arange(nblocks)))
+    lk_p = nblocks * bk
+    dk = dkb.transpose(1, 0, 2, 3, 4).reshape(b, lk_p, n, d)[:, :lk]
+    dv = dvb.transpose(1, 0, 2, 3, 4).reshape(b, lk_p, n, d)[:, :lk]
+    import numpy as _np
+
+    dk_lens = _np.zeros(k_lens.shape, dtype=jax.dtypes.float0)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            dk_lens)
+
+
+_chunked_attention_p.defvjp(_chunked_fwd_rule, _chunked_bwd_rule)
+
+
+def _chunked_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       k_lens: Optional[jnp.ndarray], scale: float,
+                       block_k: Optional[int] = None) -> jnp.ndarray:
+    """Memory-bounded online-softmax attention as a ``lax.scan`` over key
+    blocks — used as the flash kernel's backward reference and as a
+    no-Pallas fallback for long sequences. Peak memory O(B·N·Lq·block_k)
+    instead of O(B·N·Lq·Lk) in BOTH directions: the backward is a custom
+    VJP that rescans key blocks recomputing probabilities from the saved
+    log-sum-exp (the standard flash backward), not autodiff through the
+    forward scan.
+
+    ``MOVIIGEN_CHUNKED_BLOCK_K`` overrides the 1024 default at trace
+    time — the AOT memory probes (tools/mem_probe_sp.py) shrink it so
+    the CPU-mesh buffer profile approximates the Pallas kernel's (whose
+    logits live in VMEM tiles, not HBM)."""
+    if block_k is None:
+        import os
+
+        block_k = int(os.environ.get("MOVIIGEN_CHUNKED_BLOCK_K", "1024"))
+    lk = k.shape[1]
+    bk = min(block_k, lk)
+    if k_lens is None:
+        k_lens = jnp.full((q.shape[0],), lk, jnp.int32)
+    return _chunked_attention_p(q, k, v, k_lens, scale, bk)
 
 
 @functools.partial(

@@ -88,6 +88,12 @@ _T5_OFFLOAD_BYTES = 4 << 30
 # execute-verified on hardware.
 STREAMED_ATTN_PROVEN = False
 
+# Output-pixel volume (W*H*frame_num) past which generate() frees the
+# DiT tree before the VAE decode on a single chip (720P-81f = 74.6M,
+# 480x832-81f = 32.3M — the measured r4 boundary: 480p decodes with the
+# 14B resident, 720P does not). Module-level so tests can lower it.
+FREE_DIT_DECODE_PIXELS = 40_000_000
+
 
 def _streamed_attn_allowed() -> bool:
     return STREAMED_ATTN_PROVEN or \
@@ -281,14 +287,21 @@ class WanT2V:
                     for f in os.listdir(checkpoint_dir)
                     if f.startswith("diffusion_pytorch_model")
                     and f.endswith(".safetensors")]
-                self.dit_params = jax.tree_util.tree_map(
-                    jnp.asarray, self._quantized_with_cache(
-                        checkpoint_dir, f"dit_{quant}", _quantize_dit,
-                        sources=dit_shards))
-                _drain(self.dit_params)
+
+                def _build_dit():
+                    # 2nd+ builds hit the quantized safetensors cache:
+                    # no 28 GB staging, just the compact upload
+                    tree = jax.tree_util.tree_map(
+                        jnp.asarray, self._quantized_with_cache(
+                            checkpoint_dir, f"dit_{quant}", _quantize_dit,
+                            sources=dit_shards))
+                    _drain(tree)
+                    return tree
             else:
-                self.dit_params = load_wan_checkpoint(
-                    checkpoint_dir, config.model, dtype=dtype)
+                def _build_dit():
+                    return load_wan_checkpoint(
+                        checkpoint_dir, config.model, dtype=dtype)
+            self.dit_params = _build_dit()
             tok_path = os.path.join(checkpoint_dir, config.t5_tokenizer)
         else:
             logging.warning("no checkpoint_dir: random-init params "
@@ -324,15 +337,30 @@ class WanT2V:
                 if mesh is None:
                     self.vae_params = jax.tree_util.tree_map(
                         np.asarray, self.vae_params)
-                self.dit_params = device_init_quantized_wan(
-                    init_seed, config.model,
-                    bits=4 if quant == "int4" else 8,
-                    act8=quant == "w8a8")
-                _drain(self.dit_params)
+
+                def _build_dit():
+                    tree = device_init_quantized_wan(
+                        init_seed, config.model,
+                        bits=4 if quant == "int4" else 8,
+                        act8=quant == "w8a8")
+                    _drain(tree)
+                    return tree
             else:
-                self.dit_params = wan_model.init_params(
-                    keys[2], config.model, dtype=dtype)
+                def _build_dit():
+                    return wan_model.init_params(
+                        keys[2], config.model, dtype=dtype)
+            self.dit_params = _build_dit()
             tok_path = config.t5_tokenizer
+
+        # Rebuild hook for the big-decode DiT offload (generate()): on a
+        # single chip the ≥720P streaming VAE decode transients plus the
+        # resident 14B tree exceed 16 GB (measured r4: 720P-81f denoise
+        # completed, decode RESOURCE_EXHAUSTED), so generate() frees the
+        # DiT before decoding and the next call rebuilds it — checkpoint
+        # mode re-uploads from the quantized safetensors cache, smoke
+        # mode re-inits deterministically from init_seed. The reference
+        # juggles the same way with model.cpu() (text2video.py:257-259).
+        self._dit_rebuild = _build_dit
 
         self.tokenizer = load_tokenizer(
             tok_path, seq_len=config.model.text_len, clean="whitespace",
@@ -629,6 +657,10 @@ class WanT2V:
         """
         if scan_loop is None:
             scan_loop = self.config.model.dim <= 2048
+        if self.dit_params is None:
+            logging.info("rebuilding DiT params (freed for a previous "
+                         "large decode)")
+            self.dit_params = self._dit_rebuild()
         target_shape, seq_len, grid = compute_target_shape_and_seq_len(
             self.config, size, frame_num, self.sp_size)
 
@@ -694,6 +726,16 @@ class WanT2V:
 
         if return_latents:
             return np.asarray(latent[0])
+
+        # Free the DiT ahead of big single-chip decodes (≥~720P-81f
+        # output volume): the decode transients need its HBM. The next
+        # generate() rebuilds via self._dit_rebuild. Drain first — the
+        # queued denoise ops hold references until they retire.
+        if (self.mesh is None
+                and size[0] * size[1] * frame_num
+                > FREE_DIT_DECODE_PIXELS):
+            _drain(latent)
+            self.dit_params = None
 
         logging.info("VAE decode %s -> video", tuple(latent.shape))
         vae_p = self.vae_params

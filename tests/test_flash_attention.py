@@ -109,6 +109,30 @@ def test_chunked_differentiable():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_chunked_custom_bwd_matches_xla():
+    """The chunked backend's custom VJP (rescan + LSE recompute) vs
+    autodiff through the XLA oracle — incl. k_lens masking and a key
+    length that is not a block multiple."""
+    q, k, v = _rand_qkv(2, 90, 2, 32, lk=150, seed=7)
+    k_lens = jnp.asarray([150, 61], jnp.int32)
+
+    def loss_chunked(q, k, v):
+        out = _chunked_attention(q, k, v, k_lens, 32 ** -0.5, 64)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        out = attention(q, k, v, k_lens=k_lens, backend="xla",
+                        compute_dtype=jnp.float32)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_chunked = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_chunked, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4,
+            err_msg=f"d{name} mismatch")
+
+
 def test_flash_pallas_bwd_matches_xla():
     """The fused Pallas backward (dq/dk/dv kernels) vs autodiff through
     the XLA oracle."""

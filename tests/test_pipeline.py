@@ -33,6 +33,24 @@ def test_generate_deterministic_by_seed(pipe):
     assert np.abs(a - c).max() > 0
 
 
+def test_free_dit_for_big_decode(monkeypatch):
+    """Past FREE_DIT_DECODE_PIXELS the single-chip pipeline frees the
+    DiT before the VAE decode (measured r4: 720P-81f denoise completed
+    but decode RESOURCE_EXHAUSTED with the 14B tree resident) and the
+    next generate() rebuilds it deterministically."""
+    from moviigen_tpu.pipelines import text2video as t2v_mod
+
+    monkeypatch.setattr(t2v_mod, "FREE_DIT_DECODE_PIXELS", 1)
+    p = WanT2V(config=WAN_CONFIGS["t2v-tiny"], checkpoint_dir=None)
+    a = p.generate("x", size=(64, 64), frame_num=5, sampling_steps=1,
+                   seed=3)
+    assert p.dit_params is None  # freed for the decode
+    # 2nd call rebuilds on demand (then frees again at its own decode)
+    b = p.generate("x", size=(64, 64), frame_num=5, sampling_steps=1,
+                   seed=3)
+    np.testing.assert_array_equal(a, b)  # rebuild is deterministic
+
+
 def test_generate_injected_noise_and_solvers(pipe):
     noise = np.random.default_rng(0).standard_normal(
         (4, 2, 8, 8)).astype(np.float32)

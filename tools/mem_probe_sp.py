@@ -239,9 +239,13 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
 
     from moviigen_tpu.parallel.sharding import opt_state_specs
 
+    # bf16 master weights + bf16 AdamW moments — the reference's OWN
+    # 14B/720P operating point (finetune.sh:8 --master_weight_type
+    # bf16); fp32 state is 3x56 GB and cannot fit 8x16 GB at any
+    # activation budget.
     params_shapes = jax.eval_shape(
         lambda: wan_model.init_params(jax.random.PRNGKey(0), cfg,
-                                      dtype=jnp.float32))
+                                      dtype=jnp.bfloat16))
     opt, _ = init_train_state(params_shapes, tc)
     opt_state_shapes = jax.eval_shape(opt.init, params_shapes)
     specs = dit_param_specs(params_shapes, axis="seq")
@@ -274,8 +278,8 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
     compiled = lowered.compile()
     print(f"[train] compiled in {time.time() - t0:.0f}s", flush=True)
     return _mem_report(f"train sp={n_devices} {tokens}tok 14B "
-                       f"(fp32 master, bf16 residuals, per-layer "
-                       f"remat)", compiled,
+                       f"(bf16 master per finetune.sh, bf16 residuals, "
+                       f"per-layer remat)", compiled,
                        param_shapes=params_shapes,
                        module_hint="jit_step", specs=specs,
                        n_devices=n_devices)
