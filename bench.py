@@ -41,7 +41,7 @@ def _log(msg):
 
 
 def run_once(task, quant, size, frame_num, ffn_chunk_arg,
-             residual_dtype="float32"):
+             residual_dtype="float32", stream_impl="fori"):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -87,8 +87,12 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg,
                         if cfg.num_heads % hh == 0
                         and hh < cfg.num_heads), None)
         if attn_hc:
+            # streamed attention executes only under stream_impl=unroll
+            # on this worker (the fori form faults at execute — r3
+            # bisect, docs/performance.md "Single-chip 1080P-81f")
             cfg = dataclasses.replace(cfg, attn_head_chunk=attn_hc,
-                                      cross_attn_chunk=16384)
+                                      cross_attn_chunk=16384,
+                                      stream_impl=stream_impl)
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
     _log(f"start {task} {quant} {size} {frame_num}f tokens={tokens} "
@@ -247,10 +251,12 @@ def _chip_peak(device_kind: str):
 
 def _single(argv):
     """Hidden child mode: run exactly one attempt and print the JSON."""
-    task, quant, size, frame_num, ffn_chunk, residual_dtype = argv
+    (task, quant, size, frame_num, ffn_chunk, residual_dtype,
+     stream_impl) = argv
     result = run_once(task, quant or None, size, int(frame_num),
                       int(ffn_chunk) if ffn_chunk != "None" else None,
-                      residual_dtype=residual_dtype)
+                      residual_dtype=residual_dtype,
+                      stream_impl=stream_impl)
     print(json.dumps(result))
 
 
@@ -316,7 +322,13 @@ def main(argv=None):
     ap.add_argument("--health_wait", type=int, default=1500,
                     help="seconds to wait for the TPU worker to answer "
                          "a tiny op before starting attempts (0 = off)")
-    ap.add_argument("--_single", nargs=6, default=None,
+    ap.add_argument("--stream_impl", default="unroll",
+                    choices=["fori", "unroll"],
+                    help="loop impl for the streamed-attention paths "
+                         "(long sequences only): 'unroll' is the "
+                         "execute-proven form on axon-v5e; 'fori' "
+                         "faults that worker (r3 bisect)")
+    ap.add_argument("--_single", nargs=7, default=None,
                     help=argparse.SUPPRESS)
     args = ap.parse_args(argv)
 
@@ -387,7 +399,8 @@ def main(argv=None):
     for t, q, size in attempts:
         cmd = [sys.executable, __file__,
                "--_single", t, q or "", size, str(args.frame_num),
-               str(args.ffn_chunk), args.residual_dtype]
+               str(args.ffn_chunk), args.residual_dtype,
+               args.stream_impl]
         # one retry when the worker itself died mid-attempt (the relay's
         # TPU process crashes/restarts occasionally; that error says
         # nothing about whether the workload fits) — but not for OOM or

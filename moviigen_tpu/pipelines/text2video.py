@@ -154,7 +154,12 @@ def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
                        if cfg.num_heads % h == 0
                        and h < cfg.num_heads), None)
             if hc:
-                cfg = _dc.replace(cfg, attn_head_chunk=hc)
+                # the unroll stream impl (python loops + static slices)
+                # is the execute-proven form of the streamed attention
+                # paths on axon-v5e; the fori form faults the worker
+                # (r3 bisect, r4 E9-E11 ladder)
+                cfg = _dc.replace(cfg, attn_head_chunk=hc,
+                                  stream_impl="unroll")
             if cfg.cross_attn_chunk is None:
                 # stream cross-attn queries too (text kv is 512
                 # tokens; no cross-query coupling — ~2.7 GB of

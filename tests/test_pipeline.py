@@ -225,11 +225,13 @@ def test_auto_memory_config_choice_set(monkeypatch):
     with pytest.raises(RuntimeError, match="MOVIIGEN_STREAMED_ATTN"):
         _auto_memory_config(cfg, 131040, use_sp=False, quant=True)
 
-    # explicit env opt-in reaches the streamed combo (bisect work)
+    # explicit env opt-in reaches the streamed combo (bisect work),
+    # and auto-config selects the execute-proven unroll impl for it
     monkeypatch.setenv("MOVIIGEN_STREAMED_ATTN", "1")
     out = _auto_memory_config(cfg, 131040, use_sp=False, quant=True)
     assert out.attn_head_chunk == 8
     assert out.cross_attn_chunk == 16384
+    assert out.stream_impl == "unroll"
 
     # under SP nothing is chunked (per-chip shards are small)
     monkeypatch.delenv("MOVIIGEN_STREAMED_ATTN", raising=False)
