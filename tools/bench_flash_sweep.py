@@ -74,6 +74,54 @@ def bench_one(l, n_heads, d, bq, bk, iters, heads_per_call,
     return sec_call * (n_heads / nh)  # scale to the full head count
 
 
+def bench_bwd_one(l, n_heads, d, bq, bk, iters, heads_per_call,
+                  overhead=0.0):
+    """Seconds per BACKWARD call (fused dKV + dQ Pallas kernels) at
+    [1, l, nh, d], bypassing the custom-vjp's `_vjp_safe_bk` clamp so
+    blocks past the 1024 training cap can be swept (VERDICT r3: the
+    backward never had the forward's sweep). Chain: do -> dq feeds the
+    next iteration's do; dk/dv stay live via an eps-weighted sum (a
+    plain *0 could be strength-reduced away)."""
+    from moviigen_tpu.ops.flash_attention import (_flash_bwd,
+                                                  flash_attention_with_stats)
+
+    rng = np.random.default_rng(0)
+    nh = heads_per_call
+    shp = (1, l, nh, d)
+    q = jnp.asarray(rng.standard_normal(shp) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal(shp) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal(shp) * 0.1, jnp.bfloat16)
+    scale = d ** -0.5
+
+    # one forward (stats variant) supplies o/m/l residuals; the stats
+    # API returns m in the natural-log domain (ring merging), while
+    # _flash_bwd consumes the kernel's base-2 m — convert back
+    from moviigen_tpu.ops.flash_attention import LOG2E
+
+    o, m, lse = flash_attention_with_stats(q, k, v, scale=scale)
+    m = m * jnp.float32(LOG2E)
+    o = jax.block_until_ready(o)
+
+    if iters is None:
+        est_call = 10 * l * l * d * nh / 100e12  # assume ~100 TF/s bwd
+        iters = max(2, min(32, int(round(2.0 / est_call))))
+
+    def run(do0):
+        def body(i, acc):
+            dq, dk, dv = _flash_bwd(q, k, v, None, o, m, lse, acc,
+                                    scale, bq, bk)
+            return dq + jnp.bfloat16(1e-8) * (jnp.sum(dk) + jnp.sum(dv))
+        out = jax.lax.fori_loop(0, iters, body, do0)
+        return jnp.sum(out.astype(jnp.float32))
+
+    fn = jax.jit(run)
+    float(fn(o))  # compile + warm (o reused as a do-shaped seed)
+    t0 = time.perf_counter()
+    float(fn(o))
+    sec_call = (time.perf_counter() - t0 - overhead) / iters
+    return sec_call * (n_heads / nh)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seqs", type=int, nargs="+",
@@ -95,6 +143,10 @@ def main():
     ap.add_argument("--iters", type=int, default=None,
                     help="chained iterations per timed call (default: "
                          "auto-scale so each call runs >=2 s)")
+    ap.add_argument("--bwd", action="store_true",
+                    help="sweep the fused Pallas BACKWARD (dKV+dQ) "
+                         "instead of the forward; TF/s over the "
+                         "backward's 10*L^2*d*N true FLOPs")
     args = ap.parse_args()
 
     if args.bq and args.bk:
@@ -107,14 +159,17 @@ def main():
     overhead = _dispatch_overhead()
     print(f"dispatch overhead {overhead * 1e3:.1f} ms", flush=True)
 
+    bench_fn = bench_bwd_one if args.bwd else bench_one
     for l in args.seqs:
-        flops = 4 * l * l * args.d * args.heads  # true, unpadded
+        # fwd: qk + pv (2 matmuls); bwd: dv/dp/ds-included/dq/dk
+        # (5 matmuls) -> 10*L^2*d per head
+        flops = (10 if args.bwd else 4) * l * l * args.d * args.heads
         best = None
         for bq, bk in combos:
             try:
-                sec = bench_one(l, args.heads, args.d, bq, bk,
-                                args.iters, args.heads_per_call,
-                                overhead=overhead)
+                sec = bench_fn(l, args.heads, args.d, bq, bk,
+                               args.iters, args.heads_per_call,
+                               overhead=overhead)
             except Exception as e:  # OOM / untileable
                 print(f"L={l:7d} bq={bq:5d} bk={bk:5d}: FAIL "
                       f"{type(e).__name__}: {str(e)[:80]}")
