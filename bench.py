@@ -93,6 +93,14 @@ def run_once(task, quant, size, frame_num, ffn_chunk_arg,
             cfg = dataclasses.replace(cfg, attn_head_chunk=attn_hc,
                                       cross_attn_chunk=16384,
                                       stream_impl=stream_impl)
+            # fp32 residuals don't fit the 131k-token single-chip
+            # envelope (the bf16 residual stream is what closes the
+            # 1080P-81f budget — docs/performance.md); <1% parity
+            # impact measured at 1.3B
+            if residual_dtype == "float32":
+                _log("auto residual_dtype=bfloat16 (streamed-attention "
+                     "memory envelope)")
+                residual_dtype = "bfloat16"
     lat_shape = (1, cfg.in_dim, fp, h // 8, w // 8)
 
     _log(f"start {task} {quant} {size} {frame_num}f tokens={tokens} "

@@ -168,6 +168,22 @@ def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
     return cfg
 
 
+def _auto_residual_dtype(cfg, seq_len: int, use_sp: bool, rdt):
+    """Escalate fp32 residuals to bfloat16 when the single-chip
+    streamed-attention config is in play: fp32 residuals don't fit the
+    131k-token 16 GB envelope (the bf16 residual stream is what closes
+    the 1080P-81f budget — docs/performance.md "Single-chip 1080P-81f");
+    <1% parity impact measured at 1.3B. An explicit bfloat16 choice and
+    SP runs (per-chip shards are small) pass through unchanged."""
+    if (not use_sp and cfg.attn_head_chunk is not None
+            and 6 * seq_len * cfg.dim > 2_400_000_000
+            and rdt == jnp.dtype(jnp.float32)):
+        logging.info("auto residual_dtype=bfloat16 for the single-chip "
+                     "%d-token streamed config", seq_len)
+        return jnp.dtype(jnp.bfloat16)
+    return rdt
+
+
 def _drain(tree):
     """Force every enqueued op on the tree to finish via a scalar
     readback (the TPU stream is in-order; ``block_until_ready`` can
@@ -550,6 +566,8 @@ class WanT2V:
         use_sp = mesh is not None and mesh_axis_size(mesh, "ring") \
             * mesh_axis_size(mesh, "seq") > 1
         cfg = _auto_memory_config(cfg, seq_len, use_sp, bool(self.quant))
+        rdt = _auto_residual_dtype(cfg, seq_len, use_sp,
+                                   self._residual_dtype)
 
         # CFG pairing: batched (one B=2 forward) is ~1.9x per step where
         # activations fit. At long sequence on a single chip the doubled
@@ -570,7 +588,7 @@ class WanT2V:
             return wan_model.forward(
                 dit_params, x, t, ctx, cfg, rope,
                 seq_len=seq_len, attn_backend=backend,
-                residual_dtype=self._residual_dtype)
+                residual_dtype=rdt)
 
         return fwd, cfg_batched
 

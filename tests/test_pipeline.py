@@ -245,3 +245,32 @@ def test_auto_memory_config_choice_set(monkeypatch):
                                   cross_attn_chunk=4096, ffn_chunk=4096)
     out = _auto_memory_config(cfg_exp, 131040, use_sp=False, quant=True)
     assert out == cfg_exp
+
+
+def test_auto_residual_dtype_escalation(monkeypatch):
+    """The single-chip streamed-attention config auto-escalates fp32
+    residuals to bfloat16 (fp32 residuals don't fit the 131k-token
+    16 GB envelope); explicit bf16, SP runs, and sub-threshold
+    sequences pass through unchanged."""
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.pipelines.text2video import (
+        _auto_memory_config, _auto_residual_dtype)
+
+    monkeypatch.setenv("MOVIIGEN_STREAMED_ATTN", "1")
+    cfg14 = WAN_CONFIGS["t2v-14B"].model
+    f32, bf16 = jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)
+
+    # 131k single-chip streamed config → escalate
+    out = _auto_memory_config(cfg14, 131040, use_sp=False, quant=True)
+    assert _auto_residual_dtype(out, 131040, False, f32) == bf16
+    # explicit bf16 stays bf16 (no-op)
+    assert _auto_residual_dtype(out, 131040, False, bf16) == bf16
+    # under SP nothing is chunked and fp32 stays
+    sp_cfg = _auto_memory_config(cfg14, 131040, use_sp=True, quant=True)
+    assert _auto_residual_dtype(sp_cfg, 131040, True, f32) == f32
+    # 720P (75,600 tokens, no head chunk) keeps fp32 residuals — the
+    # measured headline path is unchanged
+    out720 = _auto_memory_config(cfg14, 75600, use_sp=False, quant=True)
+    assert _auto_residual_dtype(out720, 75600, False, f32) == f32

@@ -202,7 +202,9 @@ def probe_infer(n_devices, task="t2v-14B", size=(1920, 832), frames=81):
                        n_devices=n_devices)
 
 
-def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
+def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81,
+                remat_group=1, ffn_bwd_chunk=None, attn_bwd_chunk=None,
+                ring=1):
     """sp=N + FSDP training step (loss+grads+clip+AdamW) at 14B dims
     with the r3 memory recipe (bf16 residuals, remat_group, chunked-FFN
     backward) — the reference's finetune.sh 720P operating point."""
@@ -218,21 +220,38 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
         make_train_step
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    # per-layer remat only: at sp=8 the per-chip activations are 1/8,
-    # so the single-chip memory recipe (nested remat groups, chunked-FFN
-    # backward) is unnecessary — and its scan-of-scan structure blows
-    # the XLA:CPU compile memory on this 1-core/125 GB probe host
+    # default is per-layer remat only; at sp=8 the 14B 720P step needs
+    # the r3 memory recipe on top (probed 33.6 GB/chip adjusted without
+    # it): pass --remat_group/--ffn_bwd_chunk/--attn_bwd_chunk to
+    # certify a fitting configuration. The nested-group scan-of-scan
+    # costs compile RAM on this 1-core/125 GB XLA:CPU probe host.
     cfg = WAN_CONFIGS[task].model
+    if ffn_bwd_chunk or attn_bwd_chunk:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, ffn_bwd_chunk=ffn_bwd_chunk,
+                          attn_bwd_chunk=attn_bwd_chunk)
     w, h = size
     fp = (frames - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
     tokens = grid[0] * grid[1] * grid[2]
-    mesh = make_mesh(data=1, seq=n_devices)
+    # ring>1 → hybrid USP (ulysses heads x ring kv-rotation): the
+    # scale-out past head-divisibility (40 heads caps pure Ulysses at
+    # sp=8 with even groups); params/optimizer FSDP-shard over BOTH
+    # sequence axes, so per-chip state halves vs sp=8.
+    if ring > 1:
+        assert n_devices % ring == 0
+        mesh = make_mesh(data=1, ring=ring, seq=n_devices // ring)
+        param_axis = ("ring", "seq")
+    else:
+        mesh = make_mesh(data=1, seq=n_devices)
+        param_axis = "seq"
     print(f"[train] {task} {w}x{h}x{frames}f tokens={tokens} "
           f"mesh={dict(mesh.shape)} (Ulysses SP + FSDP + AdamW)",
           flush=True)
 
-    tc = TrainConfig(remat=True, residual_dtype="bfloat16")
+    tc = TrainConfig(remat=True, residual_dtype="bfloat16",
+                 remat_group=remat_group)
     rope = rope_3d_freqs(grid, cfg.head_dim)
     step = make_train_step(cfg, tc, rope, attn_backend="chunked",
                            mesh=mesh)
@@ -248,7 +267,7 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81):
                                       dtype=jnp.bfloat16))
     opt, _ = init_train_state(params_shapes, tc)
     opt_state_shapes = jax.eval_shape(opt.init, params_shapes)
-    specs = dit_param_specs(params_shapes, axis="seq")
+    specs = dit_param_specs(params_shapes, axis=param_axis)
     as_sharding = lambda tree: jax.tree_util.tree_map(  # noqa: E731
         lambda s: NamedSharding(mesh, s), tree,
         is_leaf=lambda s: isinstance(s, P))
@@ -291,6 +310,12 @@ def main():
     ap.add_argument("--which", default="infer,train")
     ap.add_argument("--json_out", default=None)
     ap.add_argument("--impl", action="store_true")
+    ap.add_argument("--remat_group", type=int, default=1)
+    ap.add_argument("--ffn_bwd_chunk", type=int, default=None)
+    ap.add_argument("--attn_bwd_chunk", type=int, default=None)
+    ap.add_argument("--ring", type=int, default=1,
+                    help="ring degree for hybrid-USP train probe "
+                         "(n_devices = ring x ulysses)")
     args = ap.parse_args()
 
     if not args.impl:
@@ -305,7 +330,10 @@ def main():
     if "infer" in args.which:
         results.append(probe_infer(args.devices))
     if "train" in args.which:
-        results.append(probe_train(args.devices))
+        results.append(probe_train(
+            args.devices, remat_group=args.remat_group,
+            ffn_bwd_chunk=args.ffn_bwd_chunk,
+            attn_bwd_chunk=args.attn_bwd_chunk, ring=args.ring))
     results = [r for r in results if r]
     if args.json_out and results:
         with open(args.json_out, "w") as f:
