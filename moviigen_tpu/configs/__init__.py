@@ -52,13 +52,23 @@ class WanModelConfig:
     # [B, L, dim] q and [B, L, N, D] out transients (~2.7 GB at 131k),
     # numerics identical.
     cross_attn_chunk: Optional[int] = None
-    # with attn_head_chunk + cross_attn_chunk both set, stream each head
-    # group's o-projection straight into the residual (the deepest memory
-    # collapse — see wan_model._self_attention_streamed). False keeps the
-    # head-chunked accumulator + whole o-projection instead: ~2.7 GB more
-    # transient at 131k tokens but one fewer in-loop construct (bisect
-    # knob for hardware-revision kernel faults in the streamed paths).
+    # with attn_head_chunk set, stream each head group's o-projection
+    # straight into the residual (the deepest memory collapse — see
+    # wan_model._self_attention_streamed). False keeps the head-chunked
+    # accumulator + whole o-projection instead: ~2.7 GB more transient
+    # at 131k tokens but one fewer in-loop construct (bisect knob for
+    # hardware-revision kernel faults in the streamed paths).
     attn_o_stream: bool = True
+    # token-chunk for the streamed o-projection's residual update
+    # (attn_o_stream). None = whole-L per head group: each group's
+    # partial o-projection is added to the residual as ONE plain
+    # elementwise add — no dynamic_update_slice anywhere in the
+    # self-attention path, which is the execute-proven form on the
+    # axon-v5e worker (the token-chunked in-place form, any chunk,
+    # faults it — r3/r4 bisect ladders). A chunk bounds the per-group
+    # [B, L, dim] o-projection transient in exchange for that in-place
+    # stream construct.
+    attn_o_chunk: Optional[int] = None
     # training-side token chunk for the FFN stage (ignored when
     # ffn_chunk is set): chunks are scanned with a per-chunk
     # jax.checkpoint so the FFN intermediate never materializes at

@@ -484,10 +484,17 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
                              e2: jnp.ndarray,
                              chunk: int) -> jnp.ndarray:
     """Head-group self-attention whose o-projection streams straight
-    into the residual: ``x += (attn_g @ Wo[rows_g]) * e2`` per group,
-    token-chunked in place. Removes both the [B, L, N, D] accumulator
-    and its fori double-buffer (2 x 1.34 GB at 131k tokens) — with the
-    in-place stage streams this is what fits 14B 1080P-81f on 16 GB.
+    into the residual: ``x += (attn_g @ Wo[rows_g]) * e2`` per group.
+    Removes both the [B, L, N, D] accumulator and its fori
+    double-buffer (2 x 1.34 GB at 131k tokens) — with the in-place
+    stage streams this is what fits 14B 1080P-81f on 16 GB.
+
+    ``chunk=None`` (cfg.attn_o_chunk) applies each group's update as
+    ONE whole-L elementwise add — no dynamic_update_slice in the whole
+    self-attention path, the execute-proven form on the axon worker
+    (r4: the token-chunked in-place form faults it at 14B dims). A
+    chunk token-streams the update in place, bounding the per-group
+    [B, L, D] o-projection transient.
     The o-projection's row slices partial-sum over groups (identical
     contraction, fp32 adds reordered); the bias is added exactly once
     at the end. ``x`` is the residual, ``xm`` the AdaLN-modulated
@@ -850,13 +857,12 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     xm = (layer_norm(x, eps=1e-6, keep_fp32=True) * (1 + e[1])
           + e[0]).astype(compute_dtype)
     sa = bp["self_attn"]
-    if (cfg.cross_attn_chunk and cfg.attn_o_stream
-            and _head_chunked(cfg, self_attn_fn)
+    if (cfg.attn_o_stream and _head_chunked(cfg, self_attn_fn)
             and _can_row_slice(
                 sa["o"], cfg.attn_head_chunk * cfg.head_dim)):
         x = _self_attention_streamed(
             sa, x, xm, cfg, rope, k_lens, compute_dtype, attn_backend,
-            e[2], cfg.cross_attn_chunk)
+            e[2], cfg.attn_o_chunk)
     elif (cfg.attn_bwd_chunk and self_attn_fn is None
           and not _head_chunked(cfg, self_attn_fn)):
         y = _self_attention_bwd_chunked(

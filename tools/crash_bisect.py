@@ -80,7 +80,7 @@ RUNGS = {
            ["--task", "t2v-14B", "--size", "1920*832", "--frames", "81",
             "--quant", "int4", "--residual_dtype", "bfloat16",
             "--attn_head_chunk", "8", "--cross_attn_chunk", "16384",
-            "--ffn_chunk", "16384"]),
+            "--attn_o_chunk", "16384", "--ffn_chunk", "16384"]),
     # ---- r4 rungs: stream_impl=unroll (python loops + static slices)
     # avoids both suspect constructs (Pallas inside fori; dynamic-sliced
     # int4 weights). E9 cheap reproducer, E10 mid-scale, E11 headline.
@@ -93,12 +93,25 @@ RUNGS = {
             ["--task", "t2v-14B", "--size", "1280*720", "--frames", "81",
              "--quant", "int4", "--residual_dtype", "bfloat16",
              "--attn_head_chunk", "8", "--cross_attn_chunk", "16384",
+             "--attn_o_chunk", "16384",
              "--ffn_chunk", "16384", "--stream_impl", "unroll"]),
     "E11": ("14B int4 1920x832 all streams, stream_impl=unroll — "
             "the headline config on the workaround impl",
             ["--task", "t2v-14B", "--size", "1920*832", "--frames", "81",
              "--quant", "int4", "--residual_dtype", "bfloat16",
              "--attn_head_chunk", "8", "--cross_attn_chunk", "16384",
+             "--attn_o_chunk", "16384",
+             "--ffn_chunk", "16384", "--stream_impl", "unroll"]),
+    # ---- r4b: the DUS-free streamed form. E12 (acc-o, whole-L cross)
+    # compiled 17.27 GB and E13 (acc-o, hc4, chunked cross) 16.02 GB —
+    # both over budget; whole-L streamed-o (attn_o_chunk=None) keeps
+    # streamed-o's memory collapse with NO dynamic_update_slice in the
+    # attention paths (plain per-group adds + whole-L cross).
+    "E14": ("14B int4 1920x832, whole-L streamed-o + whole-L cross + "
+            "fori ffn_chunk, unroll — DUS-free headline config",
+            ["--task", "t2v-14B", "--size", "1920*832", "--frames", "81",
+             "--quant", "int4", "--residual_dtype", "bfloat16",
+             "--attn_head_chunk", "8",
              "--ffn_chunk", "16384", "--stream_impl", "unroll"]),
 }
 

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--residual_dtype", default="bfloat16")
     ap.add_argument("--attn_head_chunk", type=int, default=None)
     ap.add_argument("--cross_attn_chunk", type=int, default=None)
+    ap.add_argument("--attn_o_chunk", type=int, default=None,
+                    help="token-chunk for the streamed o-projection "
+                         "residual update (None = whole-L plain adds, "
+                         "the DUS-free form)")
     ap.add_argument("--ffn_chunk", type=int, default=16384)
     ap.add_argument("--no_attn_o_stream", action="store_true",
                     help="head-chunked accumulator + whole o-projection "
@@ -58,6 +62,7 @@ def main():
                               attn_head_chunk=args.attn_head_chunk,
                               cross_attn_chunk=args.cross_attn_chunk,
                               attn_o_stream=not args.no_attn_o_stream,
+                              attn_o_chunk=args.attn_o_chunk,
                               stream_impl=args.stream_impl)
     print(f"tokens={tokens} ffn_chunk={cfg.ffn_chunk} "
           f"attn_head_chunk={cfg.attn_head_chunk} "
