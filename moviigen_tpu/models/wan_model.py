@@ -558,23 +558,39 @@ def _self_attention_bwd_chunked(p: Params, xm: jnp.ndarray,
     k, v = _dense_multi([p["k"], p["v"]], xm, compute_dtype)
     if cfg.qk_norm:
         k = rms_norm(k, p["norm_k"]["scale"], eps=cfg.eps)
-    k = rope_apply(_qkv_heads(k, cfg.num_heads), rope)
+    # Cast the rope'd k (fp32 out of rope_apply) to the attention
+    # compute dtype ONCE, outside the scan: ``attention`` would apply
+    # the same cast per chunk (identical numerics), but hoisting it
+    # frees the 2.7 GB fp32 k at 131k tokens before the scan starts
+    # and saves a [B, L, N, D] cast per iteration.
+    k = rope_apply(_qkv_heads(k, cfg.num_heads), rope).astype(compute_dtype)
     v = _qkv_heads(v, cfg.num_heads)
 
     c = _divisor_chunk(l, chunk)
     cos2, sin2 = full_width_tables(rope, l, cfg.head_dim)
-    xs = xm.reshape(b, l // c, c, d).transpose(1, 0, 2, 3)
+    # Stack token chunks as the scan xs. For B=1 (the long-sequence
+    # serving case) the [l//c, c, d] form is a pure reshape of xm — a
+    # bitcast, so the scan reads xm's own buffer; the B>1 transpose
+    # form materializes a [B, L, D] copy (1.34 GB at 131k tokens),
+    # which the memory probe showed sitting in the program's peak.
+    if b == 1:
+        xs = xm.reshape(l // c, c, d)
+    else:
+        xs = xm.reshape(b, l // c, c, d).transpose(1, 0, 2, 3)
     cos_s = cos2.reshape(l // c, c, cfg.head_dim)
     sin_s = sin2.reshape(l // c, c, cfg.head_dim)
 
     def chunk_fn(xc, cosc, sinc):
+        if b == 1:
+            xc = xc[None]  # [1, c, d]
         qc = _dense(p["q"], xc, compute_dtype)
         if cfg.qk_norm:
             qc = rms_norm(qc, p["norm_q"]["scale"], eps=cfg.eps)
         qc = rope_rotate(_qkv_heads(qc, cfg.num_heads), cosc, sinc)
         oc = attention(qc, k, v, k_lens=k_lens, backend=attn_backend,
                        compute_dtype=compute_dtype)
-        return _dense(p["o"], oc.reshape(b, c, d), compute_dtype)
+        oc = _dense(p["o"], oc.reshape(b, c, d), compute_dtype)
+        return oc[0] if b == 1 else oc
 
     chunk_ckpt = jax.checkpoint(chunk_fn)
 
@@ -583,6 +599,8 @@ def _self_attention_bwd_chunked(p: Params, xm: jnp.ndarray,
         return None, chunk_ckpt(xc, cosc, sinc)
 
     _, ys = jax.lax.scan(body, None, (xs, cos_s, sin_s))
+    if b == 1:
+        return ys.reshape(1, l, d)  # bitcast — no stacked-output copy
     return ys.transpose(1, 0, 2, 3).reshape(b, l, d)
 
 

@@ -138,9 +138,16 @@ def rope_rotate(x: jnp.ndarray, cos2: jnp.ndarray,
     the chunk-sliceable core of ``rope_apply`` (identical arithmetic)."""
     d = x.shape[-1]
     xf = x.astype(jnp.float32)
-    p = jnp.asarray(_pair_swap_matrix(d))
-    xs = jnp.matmul(xf, p, precision=jax.lax.Precision.HIGHEST)
-    return xf * cos2[None, :, None, :] + xs * sin2[None, :, None, :]
+    # Pair-swap in the INPUT dtype: the permutation rows have a single
+    # 1, so the matmul moves values without arithmetic — bit-exact in
+    # any dtype. Casting to fp32 after (in the fused elementwise) keeps
+    # the rotation arithmetic identical while the materialized swap
+    # buffer is half-width: 1.34 GB instead of 2.68 at 131k tokens/40
+    # heads, at every whole-L rope site.
+    p = jnp.asarray(_pair_swap_matrix(d)).astype(x.dtype)
+    xs = jnp.matmul(x, p, precision=jax.lax.Precision.HIGHEST)
+    return (xf * cos2[None, :, None, :]
+            + xs.astype(jnp.float32) * sin2[None, :, None, :])
 
 
 def rope_apply(x: jnp.ndarray, tables: RopeTables) -> jnp.ndarray:
@@ -174,11 +181,13 @@ def rope_apply(x: jnp.ndarray, tables: RopeTables) -> jnp.ndarray:
     cos2 = jnp.repeat(cos, 2, axis=1)                       # [lr, D]
     sin2 = jnp.stack([-sin, sin], axis=-1).reshape(lr, d)   # [lr, D]
 
-    p = jnp.asarray(_pair_swap_matrix(d))
-    xs = jnp.matmul(xf[:, :lr], p,
+    # pair-swap in the input dtype (exact — single-1 permutation rows;
+    # see rope_rotate): halves the materialized swap transient at long L
+    p = jnp.asarray(_pair_swap_matrix(d)).astype(x.dtype)
+    xs = jnp.matmul(x[:, :lr], p,
                     precision=jax.lax.Precision.HIGHEST)    # pair swap
     rot = xf[:, :lr] * cos2[None, :, None, :] \
-        + xs * sin2[None, :, None, :]
+        + xs.astype(jnp.float32) * sin2[None, :, None, :]
     if lr < l:
         rot = jnp.concatenate([rot, xf[:, lr:]], axis=1)
     return rot

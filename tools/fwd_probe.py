@@ -52,6 +52,10 @@ def main():
                     help="streamed-path loop implementation: 'unroll' "
                          "replaces fori_loop + dynamic slices with "
                          "python loops + static slices (crash bisect)")
+    ap.add_argument("--attn_bwd_chunk", type=int, default=None,
+                    help="scan-based q-token-chunked self-attention "
+                         "(lax.scan + stacked outputs — the construct "
+                         "the proven block scan uses; no fori/DUS)")
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--attn_backend", default="pallas",
                     help="'xla' for CPU smoke runs")
@@ -71,7 +75,8 @@ def main():
                               cross_attn_chunk=args.cross_attn_chunk,
                               attn_o_stream=not args.no_attn_o_stream,
                               attn_o_chunk=args.attn_o_chunk,
-                              stream_impl=args.stream_impl)
+                              stream_impl=args.stream_impl,
+                              attn_bwd_chunk=args.attn_bwd_chunk)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frames - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
@@ -79,6 +84,7 @@ def main():
     log(f"{args.task} {args.quant} {w}x{h}x{args.frames}f "
         f"tokens={tokens} hc={cfg.attn_head_chunk} "
         f"cross={cfg.cross_attn_chunk} ffn={cfg.ffn_chunk} "
+        f"qchunk={cfg.attn_bwd_chunk} "
         f"rdt={args.residual_dtype} impl={cfg.stream_impl}")
 
     if args.quant != "none":

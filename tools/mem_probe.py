@@ -37,6 +37,10 @@ def main():
                          "instead of the streamed o (bisect knob)")
     ap.add_argument("--stream_impl", default="fori",
                     choices=["fori", "unroll"])
+    ap.add_argument("--attn_bwd_chunk", type=int, default=None,
+                    help="scan-based q-token-chunked self-attention "
+                         "(lax.scan + stacked outputs — the construct "
+                         "the proven block scan uses; no fori/DUS)")
     ap.add_argument("--compile", action="store_true",
                     help="run full backend compile (buffer assignment) "
                          "instead of lowering only")
@@ -63,10 +67,12 @@ def main():
                               cross_attn_chunk=args.cross_attn_chunk,
                               attn_o_stream=not args.no_attn_o_stream,
                               attn_o_chunk=args.attn_o_chunk,
-                              stream_impl=args.stream_impl)
+                              stream_impl=args.stream_impl,
+                              attn_bwd_chunk=args.attn_bwd_chunk)
     print(f"tokens={tokens} ffn_chunk={cfg.ffn_chunk} "
           f"attn_head_chunk={cfg.attn_head_chunk} "
-          f"cross_attn_chunk={cfg.cross_attn_chunk}", flush=True)
+          f"cross_attn_chunk={cfg.cross_attn_chunk} "
+          f"attn_bwd_chunk={cfg.attn_bwd_chunk}", flush=True)
 
     if args.quant in ("int4", "int8"):
         params_shapes = jax.eval_shape(
