@@ -95,6 +95,57 @@ class WanModelConfig:
     # dynamic-sliced int4-packed weights.
     stream_impl: str = "fori"
 
+    def __post_init__(self):
+        """Single validation point for the memory knobs (VERDICT r4
+        item 9): contradictory combinations are REJECTED here instead of
+        one knob silently winning inside ``wan_model.attention_block``.
+
+        Precedence that the model implements (and this enforces):
+        - serving streams (``attn_head_chunk``/``attn_o_stream``) own the
+          self-attention path; ``attn_bwd_chunk`` is a training-side knob
+          for the UNSTREAMED path, so combining them is an error;
+        - ``attn_o_chunk`` refines the streamed o-projection and needs
+          ``attn_head_chunk`` + ``attn_o_stream=True`` to be reachable;
+        - ``ffn_chunk`` (forward-only in-place stream) and
+          ``ffn_bwd_chunk`` (AD-friendly scanned chunks) are mutually
+          exclusive implementations of the same stage.
+        """
+        if self.model_type not in ("t2v", "i2v"):
+            raise ValueError(f"model_type {self.model_type!r} not in "
+                             "('t2v', 'i2v')")
+        if self.stream_impl not in ("fori", "unroll"):
+            raise ValueError(f"stream_impl {self.stream_impl!r} not in "
+                             "('fori', 'unroll')")
+        for knob in ("ffn_chunk", "attn_head_chunk", "cross_attn_chunk",
+                     "attn_o_chunk", "ffn_bwd_chunk", "attn_bwd_chunk"):
+            val = getattr(self, knob)
+            if val is not None and val <= 0:
+                raise ValueError(f"{knob} must be positive, got {val}")
+        if self.attn_head_chunk is not None \
+                and self.num_heads % self.attn_head_chunk != 0:
+            raise ValueError(
+                f"attn_head_chunk {self.attn_head_chunk} must divide "
+                f"num_heads {self.num_heads}")
+        if self.attn_o_chunk is not None and (
+                self.attn_head_chunk is None or not self.attn_o_stream):
+            raise ValueError(
+                "attn_o_chunk token-chunks the STREAMED o-projection: it "
+                "requires attn_head_chunk set and attn_o_stream=True "
+                "(default None = whole-L plain adds, the DUS-free form)")
+        if self.attn_bwd_chunk is not None \
+                and self.attn_head_chunk is not None:
+            raise ValueError(
+                "attn_bwd_chunk (training-side q-chunked self-attention) "
+                "and attn_head_chunk (serving-side streamed attention) "
+                "are mutually exclusive — the serving stream would take "
+                "precedence and silently ignore attn_bwd_chunk")
+        if self.ffn_bwd_chunk is not None and self.ffn_chunk is not None:
+            raise ValueError(
+                "ffn_chunk (forward-only in-place FFN stream) and "
+                "ffn_bwd_chunk (AD-friendly scanned FFN chunks) are "
+                "mutually exclusive — pick the serving knob for "
+                "inference, the bwd knob for training")
+
     @property
     def head_dim(self) -> int:
         return self.dim // self.num_heads

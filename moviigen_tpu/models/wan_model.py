@@ -482,7 +482,7 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
                              cfg: WanModelConfig, rope: RopeTables,
                              k_lens, compute_dtype, attn_backend: str,
                              e2: jnp.ndarray,
-                             chunk: int) -> jnp.ndarray:
+                             chunk: Optional[int]) -> jnp.ndarray:
     """Head-group self-attention whose o-projection streams straight
     into the residual: ``x += (attn_g @ Wo[rows_g]) * e2`` per group.
     Removes both the [B, L, N, D] accumulator and its fori

@@ -98,12 +98,13 @@ def _kv_blocks(k, v, bk, nblocks):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _chunked_attention_p(q, k, v, k_lens, scale, bk):
-    out, _ = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
+    out, _, _ = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
     return out
 
 
 def _chunked_fwd_scan(q, k, v, k_lens, scale, bk):
-    """Online-softmax forward over key blocks; returns (out, lse)."""
+    """Online-softmax forward over key blocks; returns
+    (out, m, l) with m/l raw natural-domain row stats [B,N,Lq,1]."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
     nblocks = -(-lk // bk)
@@ -129,23 +130,40 @@ def _chunked_fwd_scan(q, k, v, k_lens, scale, bk):
     acc0 = jnp.zeros((b, lq, n, d), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(
         body, (m0, l0, acc0), (kb, vb, jnp.arange(nblocks)))
-    l = jnp.where(l == 0.0, 1.0, l)
-    out = acc / l.transpose(0, 2, 1, 3)
-    return out.astype(v.dtype), m + jnp.log(l)  # lse [B,N,Lq,1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = acc / l_safe.transpose(0, 2, 1, 3)
+    return out.astype(v.dtype), m, l
+
+
+def chunked_attention_with_stats(q, k, v, k_lens, scale, bk):
+    """(out, m, l) for the chunked scan, with m/l as [B, Lq, N] fp32
+    natural-log-domain row stats — the stats contract of
+    ``ops.flash_attention.flash_attention_with_stats``, used by the
+    ring-attention online-softmax merge (parallel/ring.py) on meshes
+    where the Pallas kernel can't lower (CPU certs, GPU fallback)."""
+    out, m, l = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
+    return (out, m[..., 0].transpose(0, 2, 1),
+            l[..., 0].transpose(0, 2, 1))
 
 
 def _chunked_fwd_rule(q, k, v, k_lens, scale, bk):
-    out, lse = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
-    return out, (q, k, v, k_lens, out, lse)
+    out, m, l = _chunked_fwd_scan(q, k, v, k_lens, scale, bk)
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    return out, (q, k, v, k_lens, out, m + jnp.log(l_safe))
 
 
-def _chunked_bwd_rule(scale, bk, res, dout):
-    """Flash-style backward: a second scan over key blocks recomputing
-    normalized probabilities from the saved LSE, so peak memory stays
-    O(B·N·Lq·bk) — plain autodiff through the forward scan would stash
-    per-block [B,N,Lq,bk] residuals for ALL blocks (O(Lq·Lk), 2.2 TB at
-    the 14B sp=8 75.6k-token training point)."""
-    q, k, v, k_lens, out, lse = res
+def chunked_pair_bwd(q, k, v, k_lens, out, lse, dout, scale, bk):
+    """(dq, dk, dv) fp32 for one (query, key/value-shard) pair given the
+    GLOBAL row stats: a scan over key blocks recomputing normalized
+    probabilities p = exp(s − lse), so peak memory stays O(B·N·Lq·bk).
+
+    Because p uses the *global* lse and delta = Σ_d dout·out uses the
+    *global* out, the flash backward decomposes exactly over KV shards —
+    per-shard partials sum to the true gradient. This is both the
+    chunked backend's own VJP (shard = full sequence) and the per-pair
+    backward of the ring-attention custom VJP (parallel/ring.py), where
+    plain autodiff through the rotation loop would instead stash every
+    rotation's K/V carries (183 GB/chip at the 14B sp=16 probe)."""
     b, lq, n, d = q.shape
     lk = k.shape[1]
     nblocks = -(-lk // bk)
@@ -174,6 +192,15 @@ def _chunked_bwd_rule(scale, bk, res, dout):
     lk_p = nblocks * bk
     dk = dkb.transpose(1, 0, 2, 3, 4).reshape(b, lk_p, n, d)[:, :lk]
     dv = dvb.transpose(1, 0, 2, 3, 4).reshape(b, lk_p, n, d)[:, :lk]
+    return dq, dk, dv
+
+
+def _chunked_bwd_rule(scale, bk, res, dout):
+    """Flash-style backward (see ``chunked_pair_bwd``) — the shard here
+    is the full key sequence, so one call yields the whole gradient."""
+    q, k, v, k_lens, out, lse = res
+    dq, dk, dv = chunked_pair_bwd(q, k, v, k_lens, out, lse, dout,
+                                  scale, bk)
     import numpy as _np
 
     dk_lens = _np.zeros(k_lens.shape, dtype=jax.dtypes.float0)

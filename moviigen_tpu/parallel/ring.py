@@ -36,6 +36,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _chunk_bk(shard):
+    import os
+
+    return min(int(os.environ.get("MOVIIGEN_CHUNKED_BLOCK_K", "1024")),
+               shard)
+
+
 def _local_attention_with_stats(q, k, v, k_lens, scale, backend,
                                 compute_dtype):
     """(out, m, l) for a local shard; m/l: [B, Lq, N] fp32."""
@@ -44,6 +51,14 @@ def _local_attention_with_stats(q, k, v, k_lens, scale, backend,
 
         return flash_attention_with_stats(q, k, v, k_lens=k_lens,
                                           scale=scale)
+    if backend == "chunked":
+        from ..ops.attention import chunked_attention_with_stats
+
+        shard = k.shape[1]
+        if k_lens is None:
+            k_lens = jnp.full((q.shape[0],), shard, jnp.int32)
+        return chunked_attention_with_stats(q, k, v, k_lens, scale,
+                                            _chunk_bk(shard))
     # jnp fallback (tests / CPU mesh)
     logits = jnp.einsum("blnd,bsnd->bnls", q.astype(jnp.float32),
                         k.astype(jnp.float32)) * scale
@@ -109,35 +124,70 @@ def _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale, backend,
     return o_acc, m_acc, l_acc
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _ring_flash(q, k, v, k_lens, axis_name, sp_size, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _ring_flash(q, k, v, k_lens, axis_name, sp_size, scale, backend):
     o, _, _ = _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale,
-                             "pallas", q.dtype)
+                             backend, q.dtype)
     return o.astype(q.dtype)
 
 
-def _ring_flash_fwd(q, k, v, k_lens, axis_name, sp_size, scale):
+def _ring_flash_fwd(q, k, v, k_lens, axis_name, sp_size, scale, backend):
     o, m, l = _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale,
-                             "pallas", q.dtype)
+                             backend, q.dtype)
     return o.astype(q.dtype), (q, k, v, k_lens, o, m, l)
 
 
-def _ring_flash_bwd(axis_name, sp_size, scale, res, g):
+def _ring_flash_bwd(axis_name, sp_size, scale, backend, res, g):
     """Ring backward: rotate (k, v, dk, dv) together; each step the local
-    q contributes to the currently-held shard's dk/dv via the fused
-    Pallas backward with GLOBAL (m, l) — after sp rotations every dk/dv
-    accumulator is back on its home rank. dq accumulates locally."""
-    from ..ops.flash_attention import (DEFAULT_BLOCK_K, DEFAULT_BLOCK_Q,
-                                       LOG2E, _flash_bwd)
+    q contributes to the currently-held shard's dk/dv via a flash-style
+    per-pair backward with GLOBAL (m, l) — after sp rotations every dk/dv
+    accumulator is back on its home rank. dq accumulates locally.
 
+    Rotated K/V shards are REMATERIALIZED here by re-running the
+    ppermute ring, never saved: only the home shard + (o, m, l) are
+    residuals, so training memory stays O(L/sp) per chip. (Plain
+    autodiff through the rotation loop instead stashes every rotation's
+    K/V and logits — a ring=2×seq=8 probe of that form measured
+    183 GB/chip.) backend='pallas' pairs use the fused Mosaic kernel;
+    'chunked' (CPU-mesh certs / no-Pallas platforms) uses the scanned
+    flash backward ``ops.attention.chunked_pair_bwd`` — both decompose
+    exactly over KV shards given the global stats."""
     q, k, v, k_lens, o, m, l = res
     my_idx = jax.lax.axis_index(axis_name)
     shard = k.shape[1]
-    # _flash_bwd consumes base-2-domain row maxima (its logits carry the
-    # folded log2(e)); the fwd loop merged in the natural domain
-    m2 = m * jnp.float32(LOG2E)
-    o = o.astype(q.dtype)
-    do = g.astype(q.dtype)
+    b = q.shape[0]
+
+    if backend == "pallas":
+        from ..ops.flash_attention import (DEFAULT_BLOCK_K,
+                                           DEFAULT_BLOCK_Q, LOG2E,
+                                           _flash_bwd)
+
+        # _flash_bwd consumes base-2-domain row maxima (its logits carry
+        # the folded log2(e)); the fwd loop merged in the natural domain
+        m2 = m * jnp.float32(LOG2E)
+        oh = o.astype(q.dtype)
+        do = g.astype(q.dtype)
+
+        def pair_bwd(k_blk, v_blk, src):
+            return _flash_bwd(
+                q, k_blk, v_blk, _local_klens(k_lens, src, shard),
+                oh, m2, l, do, scale, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+    else:
+        from ..ops.attention import chunked_pair_bwd
+
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        # chunked_pair_bwd's stats contract: lse [B,N,Lq,1], out [B,Lq,N,D]
+        lse = (m + jnp.log(l_safe)).transpose(0, 2, 1)[..., None]
+        of = o.astype(jnp.float32)
+        dof = g.astype(jnp.float32)
+        bk = _chunk_bk(shard)
+
+        def pair_bwd(k_blk, v_blk, src):
+            kl = _local_klens(k_lens, src, shard)
+            if kl is None:
+                kl = jnp.full((b,), shard, jnp.int32)
+            return chunked_pair_bwd(q, k_blk, v_blk, kl, of, lse, dof,
+                                    scale, bk)
 
     dq_acc = jnp.zeros(q.shape, jnp.float32)
     dk_acc = jnp.zeros(k.shape, jnp.float32)
@@ -147,9 +197,7 @@ def _ring_flash_bwd(axis_name, sp_size, scale, res, g):
 
     for step in range(sp_size):
         src = (my_idx - step) % sp_size
-        dq_p, dk_p, dv_p = _flash_bwd(
-            q, k_blk, v_blk, _local_klens(k_lens, src, shard),
-            o, m2, l, do, scale, DEFAULT_BLOCK_Q, DEFAULT_BLOCK_K)
+        dq_p, dk_p, dv_p = pair_bwd(k_blk, v_blk, src)
         dq_acc = dq_acc + dq_p.astype(jnp.float32)
         dk_acc = dk_acc + dk_p.astype(jnp.float32)
         dv_acc = dv_acc + dv_p.astype(jnp.float32)
@@ -179,8 +227,11 @@ def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     attention output for the local query shard against the full sequence.
 
     ``k_lens`` is the *global* key length per batch element (padding mask
-    for the padded tail of the sequence). Differentiable on both backends
-    (Pallas via the ring-level custom_vjp above; jnp via autodiff).
+    for the padded tail of the sequence). Differentiable on all backends:
+    'pallas' and 'chunked' go through the ring-level custom_vjp above
+    (O(L/sp)-memory backward rematerializing rotated K/V); 'xla' stays
+    plain autodiff through the rotation loop — the independent gradient
+    oracle for the custom-VJP tests (tests/test_ring_grad.py).
     """
     if scale is None:
         scale = float(q.shape[-1]) ** -0.5
@@ -192,8 +243,9 @@ def ring_self_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     k = k.astype(compute_dtype)
     v = v.astype(compute_dtype)
 
-    if attn_backend == "pallas":
-        return _ring_flash(q, k, v, k_lens, axis_name, sp_size, scale)
+    if attn_backend in ("pallas", "chunked"):
+        return _ring_flash(q, k, v, k_lens, axis_name, sp_size, scale,
+                           attn_backend)
 
     o, _, _ = _ring_fwd_loop(q, k, v, k_lens, axis_name, sp_size, scale,
                              attn_backend, compute_dtype)

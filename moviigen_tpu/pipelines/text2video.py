@@ -107,10 +107,13 @@ def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
 
     1. ``ffn_chunk`` — token-streamed FFN (proven: the 720P headline
        runs it).
-    2. ``attn_head_chunk`` + ``cross_attn_chunk`` — streamed attention.
-       KNOWN-FAULTING at execute on axon-v5e (r3 bisect): guarded by
-       ``STREAMED_ATTN_PROVEN`` / ``MOVIIGEN_STREAMED_ATTN=1`` — by
-       default the pipeline raises an actionable error instead of
+    2. ``attn_head_chunk`` (+ ``cross_attn_chunk``) — streamed
+       attention, with the whole-L DUS-free streamed-o form
+       (``attn_o_chunk=None``) by default and a token-chunked fallback
+       past the certified transient envelope. The fori-loop form of
+       these streams faults the axon-v5e worker at execute (r3 bisect):
+       guarded by ``STREAMED_ATTN_PROVEN`` / ``MOVIIGEN_STREAMED_ATTN=1``
+       — by default the pipeline raises an actionable error instead of
        wedging the worker for ~1 h.
 
     Explicitly-set config fields are never overridden. Under SP the
@@ -142,8 +145,9 @@ def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
                 raise RuntimeError(
                     f"single-chip sequence of {seq_len} tokens needs "
                     "the streamed-attention memory config "
-                    "(attn_head_chunk + cross_attn_chunk), which is "
-                    "known to crash the TPU worker at execute on "
+                    "(attn_head_chunk, whole-L streamed-o by default; "
+                    "attn_o_chunk token-chunks it), whose fori form "
+                    "is known to crash the TPU worker at execute on "
                     "this hardware (docs/performance.md 'Single-chip"
                     " 1080P-81f'). Options: (a) shard the sequence "
                     "across chips (--ulysses_size/--ring_size), "
@@ -165,6 +169,26 @@ def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
                 # tokens; no cross-query coupling — ~2.7 GB of
                 # q/out transients at 131k)
                 cfg = _dc.replace(cfg, cross_attn_chunk=16384)
+            # Streamed-o form (r4 knob migration): attn_o_chunk=None is
+            # the whole-L DUS-free default — each head group's
+            # o-projection delta is one fp32 [B, L, D] plain add
+            # (certified 15.56/15.75 GB at the 131k headline). Past the
+            # certified envelope (~4 GB of per-group delta) fall back
+            # to token-chunking the update so near-budget configs don't
+            # OOM on the transient the migration introduced.
+            if (cfg.attn_head_chunk is not None
+                    and cfg.attn_o_chunk is None
+                    and 4 * seq_len * cfg.dim > 4 << 30):
+                cfg = _dc.replace(cfg, attn_o_chunk=16384)
+    if cfg.attn_head_chunk is not None:
+        o_form = (f"token-chunked({cfg.attn_o_chunk})"
+                  if cfg.attn_o_chunk else "whole-L (DUS-free)")
+        logging.info(
+            "streamed-attention memory config: attn_head_chunk=%s "
+            "cross_attn_chunk=%s ffn_chunk=%s stream_impl=%s "
+            "streamed-o form=%s", cfg.attn_head_chunk,
+            cfg.cross_attn_chunk, cfg.ffn_chunk, cfg.stream_impl,
+            o_form if cfg.attn_o_stream else "accumulator (o-stream off)")
     return cfg
 
 

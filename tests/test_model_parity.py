@@ -421,6 +421,14 @@ def test_fully_streamed_stages_invariance():
                              residual_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(outb), np.asarray(ref),
                                atol=0.12, rtol=0.05)
+    # attn_o_chunk: token-chunked streamed-o residual updates (the
+    # explicit opt-in since the whole-L DUS-free form became the
+    # default) — same math as both forms above
+    cfg_o = dataclasses.replace(cfg_c, attn_o_chunk=12)
+    outo = wan_model.forward(params, x, t, ctx, cfg_o, rope,
+                             compute_dtype=jnp.float32, attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(outo), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
 
 
 def test_divisor_chunk_is_true_divisor():

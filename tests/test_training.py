@@ -433,6 +433,46 @@ def test_attn_bwd_chunk_grads_match_unchunked():
                                    atol=5e-4, rtol=1e-4)
 
 
+def test_attn_bwd_chunk_grads_batch2():
+    """B=2 exercises _self_attention_bwd_chunked's batched transpose
+    branch (the B>1 layout path lost coverage when the B=1 tests became
+    the only users — ADVICE r4)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    cfg_c = dataclasses.replace(cfg, attn_bwd_chunk=8)
+    params = wan_model.init_params(jax.random.PRNGKey(5), cfg,
+                                   dtype=jnp.float32)
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    t = jnp.asarray([500.0, 200.0], jnp.float32)
+    ctx = jnp.asarray(
+        rng.standard_normal((2, cfg.text_len, cfg.text_dim)), jnp.float32)
+
+    def loss(p, c):
+        out = wan_model.forward(p, x, t, ctx, c, rope,
+                                compute_dtype=jnp.float32,
+                                attn_backend="xla", remat=True)
+        return jnp.sum(jnp.square(out))
+
+    l1, g1 = jax.value_and_grad(loss)(params, cfg)
+    l2, g2 = jax.value_and_grad(loss)(params, cfg_c)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-4)
+
+
 def test_attn_bwd_chunk_padded_seq_len():
     """attn_bwd_chunk with a padded sequence (seq_len > tokens): the
     pad positions pass through RoPE unrotated (identity rows of the
