@@ -85,15 +85,17 @@ def _block_penalty(jidx, bk, k_lens):
     return jnp.where(mask, 0.0, jnp.float32(-1e30))
 
 
-def _kv_blocks(k, v, bk, nblocks):
-    """Pad k/v to a block multiple and stack: [nblocks, B, bk, N, D]."""
-    b, lk, n, d = k.shape
+def _kv_padded(k, v, bk, nblocks):
+    """Pad k/v on the key axis to a block multiple. Blocks are then
+    ``dynamic_slice``d out per scan step rather than pre-stacked into a
+    [nblocks, B, bk, N, D] copy — the stacked layout materialized a
+    second full-sequence K and V (plus their transpose copies) in HBM
+    per call, which dominated the sp=16 training-memory probe."""
+    lk = k.shape[1]
     lk_p = nblocks * bk
     kp = jnp.pad(k, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, lk_p - lk), (0, 0), (0, 0)))
-    kb = kp.reshape(b, nblocks, bk, n, d).transpose(1, 0, 2, 3, 4)
-    vb = vp.reshape(b, nblocks, bk, n, d).transpose(1, 0, 2, 3, 4)
-    return kb, vb
+    return kp, vp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -108,12 +110,13 @@ def _chunked_fwd_scan(q, k, v, k_lens, scale, bk):
     b, lq, n, d = q.shape
     lk = k.shape[1]
     nblocks = -(-lk // bk)
-    kb, vb = _kv_blocks(k, v, bk, nblocks)
+    kp, vp = _kv_padded(k, v, bk, nblocks)
     qf = q.astype(jnp.float32)
 
-    def body(carry, inp):
+    def body(carry, jidx):
         m_prev, l_prev, acc = carry
-        (kc, vc, jidx) = inp
+        kc = jax.lax.dynamic_slice_in_dim(kp, jidx * bk, bk, axis=1)
+        vc = jax.lax.dynamic_slice_in_dim(vp, jidx * bk, bk, axis=1)
         s = jnp.einsum("blnd,bsnd->bnls", qf, kc.astype(jnp.float32))
         s = s * scale + _block_penalty(jidx, bk, k_lens)
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -129,7 +132,7 @@ def _chunked_fwd_scan(q, k, v, k_lens, scale, bk):
     l0 = jnp.zeros((b, n, lq, 1), jnp.float32)
     acc0 = jnp.zeros((b, lq, n, d), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(
-        body, (m0, l0, acc0), (kb, vb, jnp.arange(nblocks)))
+        body, (m0, l0, acc0), jnp.arange(nblocks))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out = acc / l_safe.transpose(0, 2, 1, 3)
     return out.astype(v.dtype), m, l
@@ -167,32 +170,42 @@ def chunked_pair_bwd(q, k, v, k_lens, out, lse, dout, scale, bk):
     b, lq, n, d = q.shape
     lk = k.shape[1]
     nblocks = -(-lk // bk)
-    kb, vb = _kv_blocks(k, v, bk, nblocks)
+    lk_p = nblocks * bk
+    kp, vp = _kv_padded(k, v, bk, nblocks)
     qf = q.astype(jnp.float32)
     doutf = dout.astype(jnp.float32)
     # delta_i = sum_d dout_i * out_i  (rowwise), [B,N,Lq,1]
     delta = jnp.sum(doutf * out.astype(jnp.float32), axis=-1)
     delta = delta.transpose(0, 2, 1)[..., None]
 
-    def body(dq_acc, inp):
-        kc, vc, jidx = inp
-        kcf = kc.astype(jnp.float32)
+    def body(carry, jidx):
+        dq_acc, dk_buf, dv_buf = carry
+        kcf = jax.lax.dynamic_slice_in_dim(
+            kp, jidx * bk, bk, axis=1).astype(jnp.float32)
+        vcf = jax.lax.dynamic_slice_in_dim(
+            vp, jidx * bk, bk, axis=1).astype(jnp.float32)
         s = jnp.einsum("blnd,bsnd->bnls", qf, kcf) * scale \
             + _block_penalty(jidx, bk, k_lens)
         p = jnp.exp(s - lse)
-        dp = jnp.einsum("blnd,bsnd->bnls", doutf, vc.astype(jnp.float32))
+        dp = jnp.einsum("blnd,bsnd->bnls", doutf, vcf)
         ds = p * (dp - delta)
         dq_acc = dq_acc + scale * jnp.einsum("bnls,bsnd->blnd", ds, kcf)
         dkc = scale * jnp.einsum("bnls,blnd->bsnd", ds, qf)
         dvc = jnp.einsum("bnls,blnd->bsnd", p, doutf)
-        return dq_acc, (dkc, dvc)
+        # in-place block writes into the carried buffers (aliased by
+        # XLA in the scan) instead of stacked ys + transpose + reshape,
+        # which materialized a second full-sequence dk and dv
+        dk_buf = jax.lax.dynamic_update_slice_in_dim(
+            dk_buf, dkc, jidx * bk, axis=1)
+        dv_buf = jax.lax.dynamic_update_slice_in_dim(
+            dv_buf, dvc, jidx * bk, axis=1)
+        return (dq_acc, dk_buf, dv_buf), None
 
-    dq, (dkb, dvb) = jax.lax.scan(
-        body, jnp.zeros_like(qf), (kb, vb, jnp.arange(nblocks)))
-    lk_p = nblocks * bk
-    dk = dkb.transpose(1, 0, 2, 3, 4).reshape(b, lk_p, n, d)[:, :lk]
-    dv = dvb.transpose(1, 0, 2, 3, 4).reshape(b, lk_p, n, d)[:, :lk]
-    return dq, dk, dv
+    zeros_kv = jnp.zeros((b, lk_p, n, d), jnp.float32)
+    (dq, dkp, dvp), _ = jax.lax.scan(
+        body, (jnp.zeros_like(qf), zeros_kv, zeros_kv),
+        jnp.arange(nblocks))
+    return dq, dkp[:, :lk], dvp[:, :lk]
 
 
 def _chunked_bwd_rule(scale, bk, res, dout):

@@ -253,8 +253,13 @@ def probe_train(n_devices, task="t2v-14B", size=(1280, 720), frames=81,
     tc = TrainConfig(remat=True, residual_dtype="bfloat16",
                  remat_group=remat_group)
     rope = rope_3d_freqs(grid, cfg.head_dim)
+    # pad the sequence to an sp multiple (the SP-aware data path's
+    # seq_len rounding; pad tokens are k_lens-masked) — 75,600 tokens
+    # divide by sp=8/16 but not 32
+    seq_len = -(-tokens // n_devices) * n_devices
     step = make_train_step(cfg, tc, rope, attn_backend="chunked",
-                           mesh=mesh)
+                           mesh=mesh,
+                           seq_len=None if seq_len == tokens else seq_len)
 
     from moviigen_tpu.parallel.sharding import opt_state_specs
 
