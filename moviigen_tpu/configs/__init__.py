@@ -63,11 +63,12 @@ class WanModelConfig:
     # (attn_o_stream). None = whole-L per head group: each group's
     # partial o-projection is added to the residual as ONE plain
     # elementwise add — no dynamic_update_slice anywhere in the
-    # self-attention path, which is the execute-proven form on the
-    # axon-v5e worker (the token-chunked in-place form, any chunk,
-    # faults it — r3/r4 bisect ladders). A chunk bounds the per-group
-    # [B, L, dim] o-projection transient in exchange for that in-place
-    # stream construct.
+    # self-attention path. A chunk bounds the per-group [B, L, dim]
+    # o-projection transient in exchange for that in-place stream
+    # construct. NOTE: on the axon-v5e worker EVERY streamed
+    # self-attention form — including this whole-L DUS-free one (bisect
+    # rung E14, r5) — faults at execute at 14B dims; see
+    # docs/performance.md "Bisect rung verdicts" (final).
     attn_o_chunk: Optional[int] = None
     # training-side token chunk for the FFN stage (ignored when
     # ffn_chunk is set): chunks are scanned with a per-chunk

@@ -491,10 +491,12 @@ def _self_attention_streamed(p: Params, x: jnp.ndarray, xm: jnp.ndarray,
 
     ``chunk=None`` (cfg.attn_o_chunk) applies each group's update as
     ONE whole-L elementwise add — no dynamic_update_slice in the whole
-    self-attention path, the execute-proven form on the axon worker
-    (r4: the token-chunked in-place form faults it at 14B dims). A
-    chunk token-streams the update in place, bounding the per-group
-    [B, L, D] o-projection transient.
+    self-attention path. A chunk token-streams the update in place,
+    bounding the per-group [B, L, D] o-projection transient. NOTE: on
+    the axon-v5e worker every streamed self-attention form, this one
+    included, faults at execute at 14B dims (bisect rung E14, r5 —
+    docs/performance.md "Bisect rung verdicts", final); the path stays
+    for other hardware revisions behind the serving guard.
     The o-projection's row slices partial-sum over groups (identical
     contraction, fp32 adds reordered); the bias is added exactly once
     at the end. ``x`` is the residual, ``xm`` the AdaLN-modulated

@@ -78,14 +78,16 @@ def compute_target_shape_and_seq_len(config: PipelineConfig,
 _T5_OFFLOAD_BYTES = 4 << 30
 
 # Proven-path registry for the single-chip auto memory config
-# (docs/performance.md "Single-chip 1080P-81f"): the streamed
-# self/cross-attention combo (attn_head_chunk + cross_attn_chunk)
-# compiles and fits, but EXECUTING it deterministically faults the axon
-# TPU worker (r3 bisect; reproduced at 720P). Until the fault is fixed,
-# auto-config must not route users into it — explicitly-set config
-# fields and the MOVIIGEN_STREAMED_ATTN=1 env opt-in still reach the
-# path for bisect work. Flip to True once a streamed-path fix is
-# execute-verified on hardware.
+# (docs/performance.md "Single-chip 1080P-81f"): streamed head-group
+# self-attention compiles and fits, but EXECUTING it deterministically
+# faults the axon TPU worker. The r3-r5 bisect ladder is FINAL for this
+# hardware/runtime revision (performance.md "Bisect rung verdicts"):
+# every in-budget form — fori, unrolled static slices, token-chunked
+# and whole-L DUS-free streamed-o (rung E14, r5) — crashes at execute
+# while passing all CPU-backend oracles bit-exactly. Long sequences
+# route to SP (--ulysses_size/--ring_size) or big-HBM chips instead;
+# explicitly-set config fields and the MOVIIGEN_STREAMED_ATTN=1 env
+# opt-in still reach the path for future hardware revisions.
 STREAMED_ATTN_PROVEN = False
 
 # Output-pixel volume (W*H*frame_num) past which generate() frees the
@@ -158,10 +160,10 @@ def _auto_memory_config(cfg, seq_len: int, use_sp: bool, quant: bool):
                        if cfg.num_heads % h == 0
                        and h < cfg.num_heads), None)
             if hc:
-                # the unroll stream impl (python loops + static slices)
-                # is the execute-proven form of the streamed attention
-                # paths on axon-v5e; the fori form faults the worker
-                # (r3 bisect, r4 E9-E11 ladder)
+                # unroll (python loops + static slices) avoids the
+                # original fori suspects; note the r5 E14 verdict —
+                # even this form faults the axon-v5e worker, which is
+                # why this whole branch sits behind the guard above
                 cfg = _dc.replace(cfg, attn_head_chunk=hc,
                                   stream_impl="unroll")
             if cfg.cross_attn_chunk is None:
