@@ -106,7 +106,10 @@ def bench_bwd_one(l, n_heads, d, bq, bk, iters, heads_per_call,
         est_call = 10 * l * l * d * nh / 100e12  # assume ~100 TF/s bwd
         iters = max(2, min(32, int(round(2.0 / est_call))))
 
-    def run(do0):
+    # q/k/v/o/m/lse enter as ARGUMENTS (like the fwd sweep): a closure
+    # would embed them as ~300 MB of HLO constants, which the remote
+    # compile helper rejects with HTTP 413
+    def run(do0, q, k, v, o, m, lse):
         def body(i, acc):
             dq, dk, dv = _flash_bwd(q, k, v, None, o, m, lse, acc,
                                     scale, bq, bk)
@@ -115,9 +118,9 @@ def bench_bwd_one(l, n_heads, d, bq, bk, iters, heads_per_call,
         return jnp.sum(out.astype(jnp.float32))
 
     fn = jax.jit(run)
-    float(fn(o))  # compile + warm (o reused as a do-shaped seed)
+    float(fn(o, q, k, v, o, m, lse))  # compile + warm (o as do-seed)
     t0 = time.perf_counter()
-    float(fn(o))
+    float(fn(o, q, k, v, o, m, lse))
     sec_call = (time.perf_counter() - t0 - overhead) / iters
     return sec_call * (n_heads / nh)
 
