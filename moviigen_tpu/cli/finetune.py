@@ -89,6 +89,13 @@ def _parse_args(argv=None):
     p.add_argument("--use_lora", action="store_true")
     p.add_argument("--lora_rank", type=int, default=64)
     p.add_argument("--lora_alpha", type=int, default=64)
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["int8", "int4"],
+                   help="QLoRA: freeze the base as a packed int8/int4 "
+                        "tree (requires --use_lora). int4 puts the 14B "
+                        "base at 8.3 GB — LoRA fine-tuning the flagship "
+                        "on ONE 16 GB chip, vs the reference's 8x80 GB "
+                        "training floor")
     # misc
     p.add_argument("--export_safetensors", action="store_true",
                    help="also write reference-layout safetensors")
@@ -118,7 +125,7 @@ def main(argv=None):
     from ..training.data import (
         DataLoader, LatentDataset,
         SPAwareAspectRatioLengthBucketDistributedSampler)
-    from ..training.lora import init_lora_params, merge_lora
+    from ..training.lora import attach_lora, init_lora_params
 
     cfg = WAN_CONFIGS[args.task]
     mcfg = cfg.model
@@ -191,6 +198,17 @@ def main(argv=None):
         lr_warmup_steps=args.lr_warmup_steps,
         max_train_steps=args.max_train_steps,
     )
+
+    if args.quant:
+        if not args.use_lora:
+            raise SystemExit("--quant requires --use_lora (the packed "
+                             "base is frozen; only adapters train)")
+        from ..ops.quantization import quantize_wan_params
+
+        params = quantize_wan_params(
+            params, bits=4 if args.quant == "int4" else 8)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        logging.info("frozen base quantized to %s", args.quant)
 
     lora = None
     if args.use_lora:
@@ -271,8 +289,11 @@ def main(argv=None):
         sigmas = sigmas_tab[idx]
 
         def loss_fn(tr):
-            p = merge_lora(frozen, tr, alpha=args.lora_alpha,
-                           rank=args.lora_rank) if args.use_lora else tr
+            # attach (rank-r side path), not merge: never materializes
+            # the [L, d_in, d_out] delta and works on packed int4/int8
+            # frozen bases (QLoRA)
+            p = attach_lora(frozen, tr, alpha=args.lora_alpha,
+                            rank=args.lora_rank) if args.use_lora else tr
             noisy = flow_match_noisy(latents, noise, sigmas)
             t = sigmas * tc.num_train_timesteps
             pred = forward(p, noisy, t, context)
@@ -312,7 +333,8 @@ def main(argv=None):
         writer = None
 
     def do_save(step, is_final=False):
-        frozen_meta = {"final": is_final, "lora": bool(args.use_lora)}
+        frozen_meta = {"final": is_final, "lora": bool(args.use_lora),
+                       "quant": args.quant or "none"}
         path = save_checkpoint(
             args.output_dir, step, trainable, opt_state,
             extra_meta=frozen_meta,

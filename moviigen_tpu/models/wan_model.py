@@ -157,6 +157,20 @@ def init_params(key: jax.Array, cfg: WanModelConfig,
 # --------------------------------------------------------------------------
 
 
+def _lora_side(p: Params, x: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+    """Rank-r LoRA side path: ``out + (x @ lora_A) @ lora_B``.
+
+    ``lora_B`` arrives pre-scaled by alpha/rank (training/lora.py
+    ``attach_lora``). The base leaf stays untouched — for int4/int8
+    frozen bases (QLoRA) the packed bytes never see the delta; the two
+    rank-r GEMMs are ~r/d of the base GEMM's FLOPs and XLA fuses the
+    add into the projection epilogue. Same math as ``merge_lora`` up to
+    float association (x@(W+AB) vs x@W + (x@A)@B)."""
+    cd = out.dtype
+    h = jnp.matmul(x.astype(cd), p["lora_A"].astype(cd))
+    return out + jnp.matmul(h, p["lora_B"].astype(cd))
+
+
 def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """x @ kernel + bias, casting x to the kernel dtype (autocast analog).
 
@@ -168,7 +182,8 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     ops/quantization.py) dequantize just-in-time: one bf16 [in, out]
     transient per layer. Leaves marked 'a8' (W8A8) instead quantize the
     activations per-token and run the matmul int8×int8→int32 on the
-    MXU's double-rate int8 path."""
+    MXU's double-rate int8 path. Leaves carrying ``lora_A``/``lora_B``
+    (attach_lora) get the rank-r side path added after the base GEMM."""
     if "q8" in p or "q4" in p:
         from moviigen_tpu.ops.quantization import (dequantize_leaf,
                                                    int8_matmul,
@@ -182,12 +197,16 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
                    * p["scale"]).astype(cd)
             if "bias" in p:
                 out = out + p["bias"].astype(cd)
+            if "lora_A" in p:
+                out = _lora_side(p, x, out)
             return out
         k = dequantize_leaf(p, cd)
         prec = jax.lax.Precision.HIGHEST if cd == jnp.float32 else None
         out = jnp.matmul(x.astype(cd), k, precision=prec)
         if "bias" in p:
             out = out + p["bias"].astype(cd)
+        if "lora_A" in p:
+            out = _lora_side(p, x, out)
         return out
     k = p["kernel"]
     if dtype is not None:
@@ -199,6 +218,8 @@ def _dense(p: Params, x: jnp.ndarray, dtype=None) -> jnp.ndarray:
     out = jnp.matmul(x, k, precision=prec)
     if "bias" in p:
         out = out + p["bias"].astype(k.dtype)
+    if "lora_A" in p:
+        out = _lora_side(p, x, out)
     return out
 
 
@@ -258,7 +279,9 @@ def _dense_multi(ps, x: jnp.ndarray, dtype=None):
                + bcat).astype(cd)
         sizes = [p["q8"].shape[-1] for p in ps]
         splits = np.cumsum(sizes)[:-1].tolist()
-        return jnp.split(out, splits, axis=-1)
+        outs = jnp.split(out, splits, axis=-1)
+        return [_lora_side(p, x, o) if "lora_A" in p else o
+                for p, o in zip(ps, outs)]
 
     ks = [kern(p, cd) for p in ps]
     sizes = [k.shape[-1] for k in ks]
@@ -267,7 +290,9 @@ def _dense_multi(ps, x: jnp.ndarray, dtype=None):
     prec = jax.lax.Precision.HIGHEST if kcat.dtype == jnp.float32 else None
     out = jnp.matmul(x.astype(cd), kcat, precision=prec) + bcat
     splits = np.cumsum(sizes)[:-1].tolist()
-    return jnp.split(out, splits, axis=-1)
+    outs = jnp.split(out, splits, axis=-1)
+    return [_lora_side(p, x, o) if "lora_A" in p else o
+            for p, o in zip(ps, outs)]
 
 
 def sinusoidal_embedding_1d(dim: int, position: jnp.ndarray) -> jnp.ndarray:
@@ -316,10 +341,12 @@ def _slice_cols_dyn(p: Params, start, cols: int) -> Params:
     {'kernel'}, int8 {'q8', 'scale'[out]}, int4 {'q4'[in//2, out],
     'scale'[in//g, out]} — every tensor's last axis is the output dim."""
     sl = {}
-    for key in ("kernel", "q8", "q4", "scale", "bias"):
+    for key in ("kernel", "q8", "q4", "scale", "bias", "lora_B"):
         if key in p:
             a = p[key]
             sl[key] = _slice1(a, start, cols, axis=a.ndim - 1)
+    if "lora_A" in p:
+        sl["lora_A"] = p["lora_A"]  # input-side factor: no out-dim axis
     if "a8" in p:
         sl["a8"] = p["a8"]
     return sl
@@ -355,6 +382,11 @@ def _slice_rows_dyn(p: Params, start, rows: int) -> Params:
         sl["q4"] = _slice1(p["q4"], start // 2, rows // 2, axis=0)
         sl["scale"] = _slice1(p["scale"], start // gsz, rows // gsz,
                               axis=0)
+    if "lora_A" in p:
+        # input-dim slice of the A factor; (x_rows @ A_rows) @ B is a
+        # valid partial sum of the side path, like the kernel slice
+        sl["lora_A"] = _slice1(p["lora_A"], start, rows, axis=0)
+        sl["lora_B"] = p["lora_B"]
     if "a8" in p:
         sl["a8"] = p["a8"]
     return sl

@@ -112,15 +112,25 @@ def init_train_state(params: Dict[str, Any], tc: TrainConfig):
 def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
                     rope: RopeTables, seq_len: Optional[int] = None,
                     attn_backend: str = "auto", mesh=None,
-                    sp_mode: Optional[str] = None):
-    """Returns ``step(params, opt_state, batch, key) →
+                    sp_mode: Optional[str] = None,
+                    lora_alpha: float = 64.0, lora_rank: int = 64):
+    """Returns ``step(params, opt_state, batch, key, frozen=None) →
     (params, opt_state, metrics)``; jit at the call site with the desired
     shardings. With a mesh whose sequence axes (``seq``, and ``ring`` on
     a 3-axis mesh) exceed 1, the forward runs sequence-parallel — the
     training analog of ``model_seq.py``'s ``sp_size`` (finetune.sh:
     sp_size 8). ``sp_mode`` defaults to 'usp' on a (data, ring, seq)
     mesh and 'ulysses' otherwise (the reference trains Ulysses-only;
-    ring/hybrid extend it to >per-chip sequences)."""
+    ring/hybrid extend it to >per-chip sequences).
+
+    LoRA (reference ``--use_lora``, finetune.py:364-374): pass the A/B
+    tree as ``params`` and the base model tree as ``frozen`` — the step
+    trains only A/B via the attached rank-r side path. ``frozen`` may
+    be an int4/int8-quantized tree (QLoRA): the packed base stays
+    byte-identical in HBM (8.3 GB at 14B int4) and only the adapters +
+    their AdamW moments are optimizer state — 14B fine-tuning on ONE
+    16 GB chip, where the reference's 14B training floor is 8×80 GB
+    GPUs (finetune.sh:6-33)."""
     sigmas_tab, _ = train_schedule(tc.num_train_timesteps,
                                    tc.schedule_shift)
     sigmas_tab = jnp.asarray(sigmas_tab)
@@ -134,7 +144,12 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
 
     rdt = jnp.dtype(tc.residual_dtype)
 
-    def loss_fn(params, latents, context, noise, sigmas):
+    def loss_fn(params, latents, context, noise, sigmas, frozen=None):
+        if frozen is not None:
+            from .lora import attach_lora
+
+            params = attach_lora(frozen, params, alpha=lora_alpha,
+                                 rank=lora_rank)
         noisy = flow_match_noisy(latents, noise, sigmas)
         t = sigmas * tc.num_train_timesteps  # timesteps = σ·T
         if use_sp:
@@ -155,7 +170,7 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
                                    - target.astype(jnp.float32)))
         return loss, t
 
-    def step(params, opt_state, batch, key):
+    def step(params, opt_state, batch, key, frozen=None):
         latents = batch["latents"]
         context = batch["context"]
         b = latents.shape[0]
@@ -173,7 +188,7 @@ def make_train_step(cfg: WanModelConfig, tc: TrainConfig,
         sigmas = sigmas_tab[idx]
 
         (loss, t), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, latents, context, noise, sigmas)
+            params, latents, context, noise, sigmas, frozen)
         # NOTE: with grad_accum_steps > 1 this is the RAW per-microbatch
         # gradient norm, not the clipped norm of the accumulated gradient
         # the reference logs at cycle end (finetune.py:594) — the two

@@ -68,7 +68,17 @@ def main():
                     help="AOT-compile only (abstract args, chipless "
                          "buffer assignment) and print the memory "
                          "analysis — cannot OOM or crash the worker")
+    ap.add_argument("--lora_rank", type=int, default=0,
+                    help="QLoRA: train rank-r adapters over a frozen "
+                         "base (0 = full fine-tune)")
+    ap.add_argument("--quant", default=None, choices=["int4", "int8"],
+                    help="pack the frozen base (requires --lora_rank): "
+                         "int4 puts the 14B base at 8.3 GB — flagship "
+                         "LoRA fine-tuning on ONE 16 GB chip")
     args = ap.parse_args()
+    if args.quant and not args.lora_rank:
+        ap.error("--quant requires --lora_rank (the packed base is "
+                 "frozen; only adapters train)")
 
     from moviigen_tpu.configs import WAN_CONFIGS
     from moviigen_tpu.models import wan_model
@@ -100,13 +110,39 @@ def main():
     tc = TrainConfig(remat=not args.no_remat,
                      residual_dtype=args.residual_dtype,
                      remat_group=args.remat_group)
-    step = make_train_step(cfg, tc, rope, attn_backend=args.attn_backend)
+    step = make_train_step(cfg, tc, rope, attn_backend=args.attn_backend,
+                           lora_rank=max(args.lora_rank, 1))
+    qlora = args.lora_rank > 0
+
+    def make_frozen(abstract: bool):
+        """Frozen base tree for QLoRA (packed when --quant)."""
+        from moviigen_tpu.ops.quantization import device_init_quantized_wan
+
+        if args.quant:
+            fn = lambda: device_init_quantized_wan(  # noqa: E731
+                0, cfg, bits=4 if args.quant == "int4" else 8)
+        else:
+            fn = lambda: wan_model.init_params(  # noqa: E731
+                jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        return jax.eval_shape(fn) if abstract else jax.jit(fn)()
 
     if args.aot:
         # chipless fit probe: abstract shapes through the remote AOT
         # compiler (mem_probe.py pattern) — donation honored, no alloc
-        params_s = jax.eval_shape(lambda: wan_model.init_params(
-            jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
+        from moviigen_tpu.training.lora import init_lora_params
+
+        if qlora:
+            frozen_s = make_frozen(abstract=True)
+            params_s = jax.eval_shape(
+                lambda: init_lora_params(
+                    jax.random.PRNGKey(1),
+                    jax.tree_util.tree_map(
+                        lambda s: jnp.zeros(s.shape, s.dtype), frozen_s),
+                    rank=args.lora_rank))
+        else:
+            frozen_s = None
+            params_s = jax.eval_shape(lambda: wan_model.init_params(
+                jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16))
         opt_s = jax.eval_shape(
             lambda p: init_train_state(p, tc)[1], params_s)
         batch_s = {
@@ -117,8 +153,9 @@ def main():
         }
         key_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
         print("lowering...", flush=True)
-        lowered = jax.jit(step, donate_argnums=(0, 1)).lower(
-            params_s, opt_s, batch_s, key_s)
+        jitted = jax.jit(step, donate_argnums=(0, 1))
+        lowered = jitted.lower(params_s, opt_s, batch_s, key_s, frozen_s) \
+            if qlora else jitted.lower(params_s, opt_s, batch_s, key_s)
         print("compiling (backend buffer assignment)...", flush=True)
         compiled = lowered.compile()
         ma = compiled.memory_analysis()
@@ -132,8 +169,17 @@ def main():
                     print(f"{k}: {v / 1e9:.3f} GB", flush=True)
         return
 
-    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
-                                   dtype=jnp.bfloat16)
+    frozen = None
+    if qlora:
+        from moviigen_tpu.training.lora import init_lora_params
+
+        frozen = make_frozen(abstract=False)
+        jax.block_until_ready(frozen)
+        params = init_lora_params(jax.random.PRNGKey(1), frozen,
+                                  rank=args.lora_rank)
+    else:
+        params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                       dtype=jnp.bfloat16)
     jax.block_until_ready(params)
     print("params on device", flush=True)
     _, opt_state = init_train_state(params, tc)
@@ -161,7 +207,8 @@ def main():
     key = jax.random.PRNGKey(0)
     print("compiling train step", flush=True)
     t0 = time.perf_counter()
-    params, opt_state, metrics = jitted(params, opt_state, batch, key)
+    step_args = (batch, key, frozen) if qlora else (batch, key)
+    params, opt_state, metrics = jitted(params, opt_state, *step_args)
     loss = float(metrics["loss"])  # forces completion
     print(f"compiled + step0 in {time.perf_counter() - t0:.1f}s "
           f"loss={loss:.4f}", flush=True)
@@ -170,7 +217,8 @@ def main():
     for i in range(args.steps):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
-        params, opt_state, metrics = jitted(params, opt_state, batch, sub)
+        step_args = (batch, sub, frozen) if qlora else (batch, sub)
+        params, opt_state, metrics = jitted(params, opt_state, *step_args)
         loss = float(metrics["loss"])
         dt = time.perf_counter() - t0 - overhead
         times.append(dt)
@@ -181,30 +229,40 @@ def main():
 
     # FLOPs: fwd (bench.py formulas) x3 for fwd+bwd, +1 fwd per remat
     # recompute level (per-layer checkpointing re-runs the forward once;
-    # nested remat groups re-run it twice — group pass + layer pass)
+    # nested remat groups re-run it twice — group pass + layer pass).
+    # QLoRA skips the base dW GEMMs: bwd ≈ 1x fwd (dx only), so the
+    # no-remat multiplier is 2, not 3.
     d, ffn, layers = cfg.dim, cfg.ffn_dim, cfg.num_layers
     per_tok_lin = 6 * d * d + 2 * d * ffn
     fwd_flops = 2 * layers * (per_tok_lin * tokens
                               + 2 * d * d * cfg.text_len) \
         + 4 * layers * d * (tokens * tokens + tokens * cfg.text_len)
-    mult = 3
+    goodput_mult = 2 if qlora else 3
+    mult = goodput_mult
     if not args.no_remat:
         mult += 2 if args.remat_group > 1 else 1
     total = mult * fwd_flops
     tfs = total / sec / 1e12
+    tag = ""
+    if qlora:
+        tag = f"_qlora_r{args.lora_rank}" + (
+            f"_{args.quant}" if args.quant else "")
     print(json.dumps({
         "metric": (f"sec_per_train_step_{args.task}_{w}x{h}_"
-                   f"{args.frame_num}f_remat"),
+                   f"{args.frame_num}f_remat{tag}"),
         "value": round(sec, 3),
         "unit": "s/step",
         "tokens": tokens,
         "achieved_tflops": round(tfs, 1),
-        "model_tflops": round(3 * fwd_flops / sec / 1e12, 1),
-        "note": (f"fwd+bwd+remat-recompute+AdamW, bf16 params, "
+        "model_tflops": round(goodput_mult * fwd_flops / sec / 1e12, 1),
+        "note": (f"fwd+bwd+remat-recompute+AdamW, "
+                 f"{'packed ' + args.quant + ' frozen base + rank-'
+                    + str(args.lora_rank) + ' adapters, ' if qlora else
+                    'bf16 params, '}"
                  f"{args.residual_dtype} residuals, "
                  f"remat_group={args.remat_group}, "
                  f"{mult}x fwd executed-FLOPs accounting "
-                 f"(model_tflops = 3x goodput)"),
+                 f"(model_tflops = {goodput_mult}x goodput)"),
     }), flush=True)
 
 
