@@ -340,6 +340,14 @@ def main(argv=None):
             extra_meta=frozen_meta,
             export_safetensors=args.export_safetensors and not args.use_lora,
             cfg=mcfg)
+        if args.use_lora and args.export_safetensors:
+            # adapters in peft layout (ref save_lora_checkpoint,
+            # finetune.py:501-502)
+            from ..training.checkpoint import export_lora_safetensors
+
+            export_lora_safetensors(
+                os.path.join(path, "lora_adapter.safetensors"),
+                trainable, alpha=args.lora_alpha, rank=args.lora_rank)
         logging.info("saved checkpoint %s", path)
 
     # signal-triggered checkpoint (ref finetune.py:159-169, 508-510)

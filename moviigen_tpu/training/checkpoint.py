@@ -166,3 +166,70 @@ def export_wan_safetensors(path: str, params: Dict[str, Any], cfg) -> None:
 
     sd = wan_params_to_state_dict(params, cfg)
     save_file(sd, path)
+
+
+# --------------------------------------------------------------------------
+# LoRA adapter export/import (peft-style safetensors)
+# --------------------------------------------------------------------------
+
+
+def lora_to_peft_state_dict(lora: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Stacked LoRA A/B tree → peft-layout torch state dict.
+
+    Parity surface: the reference saves adapters via FastVideo's
+    ``save_lora_checkpoint`` (finetune.py:501-502), which serializes the
+    peft-wrapped transformer's ``lora_A``/``lora_B`` Linear weights.
+    peft stores ``lora_A.weight`` as ``[r, d_in]`` and ``lora_B.weight``
+    as ``[d_out, r]`` (torch Linear layout) under the base module's key
+    path — here the same diffusers key names as
+    ``wan_params_to_state_dict`` (``blocks.{i}.self_attn.q`` ...)."""
+    sd: Dict[str, np.ndarray] = {}
+    for base, ab in lora.items():
+        # base: 'blocks/self_attn/q' on the stacked layout
+        parts = base.split("/")
+        a = _np(ab["A"])   # [L, d_in, r]
+        b = _np(ab["B"])   # [L, r, d_out]
+        for i in range(a.shape[0]):
+            key = f"{parts[0]}.{i}." + ".".join(parts[1:])
+            sd[f"{key}.lora_A.weight"] = a[i].T
+            sd[f"{key}.lora_B.weight"] = b[i].T
+    return sd
+
+
+def lora_from_peft_state_dict(sd: Dict[str, np.ndarray],
+                              dtype=np.float32) -> Dict[str, Any]:
+    """Inverse of ``lora_to_peft_state_dict``: peft keys → stacked tree."""
+    import collections
+
+    per_base = collections.defaultdict(dict)
+    for key, val in sd.items():
+        m = re.match(r"blocks\.(\d+)\.(.+)\.lora_([AB])\.weight$", key)
+        if not m:
+            continue
+        layer, mid, which = int(m.group(1)), m.group(2), m.group(3)
+        base = "blocks/" + mid.replace(".", "/")
+        per_base[base].setdefault(which, {})[layer] = np.asarray(val, dtype)
+    lora: Dict[str, Any] = {}
+    for base, ab in per_base.items():
+        layers = sorted(ab["A"])
+        lora[base] = {
+            "A": np.stack([ab["A"][i].T for i in layers]),
+            "B": np.stack([ab["B"][i].T for i in layers]),
+        }
+    return lora
+
+
+def export_lora_safetensors(path: str, lora: Dict[str, Any],
+                            alpha: float, rank: int) -> None:
+    """Write the adapters as peft-layout safetensors + an
+    adapter_config.json carrying alpha/rank (what peft needs to apply
+    the ``alpha/rank`` scale on load)."""
+    from safetensors.numpy import save_file
+
+    save_file(lora_to_peft_state_dict(lora), path)
+    cfg_path = os.path.join(os.path.dirname(path), "adapter_config.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"lora_alpha": alpha, "r": rank,
+                   "peft_type": "LORA",
+                   "target_modules": sorted(
+                       {k.split("/", 1)[1] for k in lora})}, f)

@@ -263,6 +263,56 @@ def test_qlora_train_step_quantized_base(bits):
         np.asarray(frozen["blocks"]["self_attn"]["q"][qkey]))
 
 
+def test_lora_peft_safetensors_roundtrip(tmp_path):
+    """peft-layout adapter export (ref save_lora_checkpoint parity):
+    stacked A/B → torch-layout safetensors → stacked A/B, bit-exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.training.checkpoint import (
+        export_lora_safetensors, lora_from_peft_state_dict,
+        lora_to_peft_state_dict)
+    from moviigen_tpu.training.lora import init_lora_params
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    lora = init_lora_params(jax.random.PRNGKey(1), params, rank=3)
+    lora = jax.tree_util.tree_map(
+        lambda x: x + jax.random.normal(jax.random.PRNGKey(2), x.shape),
+        lora)
+
+    sd = lora_to_peft_state_dict(lora)
+    # peft torch layout: lora_A.weight [r, d_in], lora_B.weight [d_out, r]
+    a0 = sd["blocks.0.self_attn.q.lora_A.weight"]
+    assert a0.shape == (3, cfg.dim)
+    assert sd["blocks.1.self_attn.q.lora_B.weight"].shape == (cfg.dim, 3)
+    back = lora_from_peft_state_dict(sd)
+    assert set(back) == set(lora)
+    for base in lora:
+        np.testing.assert_array_equal(np.asarray(lora[base]["A"],
+                                                 np.float32),
+                                      back[base]["A"])
+        np.testing.assert_array_equal(np.asarray(lora[base]["B"],
+                                                 np.float32),
+                                      back[base]["B"])
+
+    # file roundtrip + adapter_config
+    import json as _json
+
+    from safetensors.numpy import load_file
+
+    path = str(tmp_path / "lora_adapter.safetensors")
+    export_lora_safetensors(path, lora, alpha=6.0, rank=3)
+    assert set(load_file(path)) == set(sd)
+    with open(tmp_path / "adapter_config.json") as f:
+        meta = _json.load(f)
+    assert meta["r"] == 3 and meta["lora_alpha"] == 6.0
+    assert "self_attn/q" in meta["target_modules"]
+
+
 def test_finetune_cli_qlora(tiny_dataset, tmp_path):
     from moviigen_tpu.cli.finetune import main
 
