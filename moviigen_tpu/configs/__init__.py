@@ -95,6 +95,16 @@ class WanModelConfig:
     # suspect constructs: Pallas kernels inside dynamic loops and
     # dynamic-sliced int4-packed weights.
     stream_impl: str = "fori"
+    # Backend override for CROSS-attention only (None = follow the call
+    # site's attn_backend). Rationale: the 'chunked' backend materializes
+    # [N, Lq, Lk] score/probability buffers in HBM — fine for the
+    # q-chunked self-attention backward (attn_bwd_chunk bounds Lq), but
+    # the text cross-attention runs whole-L (Lk = text_len 512), where
+    # those buffers are f32 [40, L, 512] = 2.5 GB at 32,760 tokens. The
+    # Pallas kernel keeps them in VMEM tiles; 'pallas' here recovers
+    # that while the self-attention path keeps its memory-bounded
+    # chunked backward (the single-chip 14B QLoRA recipe).
+    cross_attn_backend: Optional[str] = None
 
     def __post_init__(self):
         """Single validation point for the memory knobs (VERDICT r4
@@ -117,6 +127,11 @@ class WanModelConfig:
         if self.stream_impl not in ("fori", "unroll"):
             raise ValueError(f"stream_impl {self.stream_impl!r} not in "
                              "('fori', 'unroll')")
+        if self.cross_attn_backend not in (None, "auto", "pallas",
+                                           "chunked", "xla"):
+            raise ValueError(
+                f"cross_attn_backend {self.cross_attn_backend!r} not in "
+                "(None, 'auto', 'pallas', 'chunked', 'xla')")
         for knob in ("ffn_chunk", "attn_head_chunk", "cross_attn_chunk",
                      "attn_o_chunk", "ffn_bwd_chunk", "attn_bwd_chunk"):
             val = getattr(self, knob)

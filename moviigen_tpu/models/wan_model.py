@@ -933,14 +933,15 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
     # tokens); the query side (norm3 → q → attend → o → add) is
     # per-token and streams in place when cross_attn_chunk is set
     ca_p = bp["cross_attn"]
+    ca_backend = cfg.cross_attn_backend or attn_backend
     if cfg.model_type == "i2v":
         q_body = _i2v_cross_q_body(
             ca_p, *_i2v_cross_kv(ca_p, context, cfg, compute_dtype),
-            cfg, compute_dtype, attn_backend)
+            cfg, compute_dtype, ca_backend)
     else:
         k, v = _cross_kv(ca_p, context, cfg, compute_dtype)
         q_body = _cross_q_body(ca_p, k, v, cfg, compute_dtype,
-                               attn_backend)
+                               ca_backend)
 
     def cross_delta(xc):
         if cfg.cross_attn_norm:

@@ -55,6 +55,7 @@ REJECTED = [
     # enums
     (dict(stream_impl="scan"), "stream_impl"),
     (dict(model_type="v2v"), "model_type"),
+    (dict(cross_attn_backend="mosaic"), "cross_attn_backend"),
 ]
 
 
@@ -75,3 +76,38 @@ def test_registry_configs_all_valid():
 def test_direct_construction_validates():
     with pytest.raises(ValueError, match="must divide num_heads"):
         WanModelConfig(num_heads=16, attn_head_chunk=5)
+
+
+def test_cross_attn_backend_override_matches_default():
+    """cross_attn_backend routes only the cross-attention sites; with
+    an explicit 'xla' override (vs the default inherited backend, also
+    xla on CPU) the forward is bit-identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.ops.rope import rope_3d_freqs
+
+    cfg = BASE
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
+                                   dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((1, cfg.in_dim, 2, 8, 8)),
+                    jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((1, cfg.text_len, cfg.text_dim)),
+                      jnp.float32)
+    t = jnp.asarray([250.0])
+    rope = rope_3d_freqs((2, 4, 4), cfg.head_dim)
+    a = wan_model.forward(params, x, t, ctx, cfg, rope,
+                          attn_backend="xla")
+    b = wan_model.forward(params, x, t, ctx,
+                          cfg.replace(cross_attn_backend="xla"), rope,
+                          attn_backend="xla")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # chunked override changes the site's numerics only at fp tolerance
+    c = wan_model.forward(params, x, t, ctx,
+                          cfg.replace(cross_attn_backend="chunked"), rope,
+                          attn_backend="xla")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               atol=5e-3, rtol=5e-3)

@@ -64,6 +64,12 @@ def main():
                          "16 GB chip (fp32 carries OOM at 20.98 GB)")
     ap.add_argument("--attn_backend", default="pallas",
                     help="'auto' probes lowering (use on CPU smoke runs)")
+    ap.add_argument("--cross_attn_backend", default=None,
+                    choices=["auto", "pallas", "chunked", "xla"],
+                    help="backend override for cross-attention only "
+                         "(e.g. pallas while self runs chunked — the "
+                         "chunked path's whole-L [N,L,512] score "
+                         "buffers are 2.5 GB f32 at 32,760 tokens)")
     ap.add_argument("--aot", action="store_true",
                     help="AOT-compile only (abstract args, chipless "
                          "buffer assignment) and print the memory "
@@ -92,12 +98,14 @@ def main():
 
     cfg = WAN_CONFIGS[args.task].model
     if (args.ffn_chunk or args.attn_head_chunk or args.cross_attn_chunk
-            or args.ffn_bwd_chunk or args.attn_bwd_chunk):
+            or args.ffn_bwd_chunk or args.attn_bwd_chunk
+            or args.cross_attn_backend):
         cfg = dataclasses.replace(cfg, ffn_chunk=args.ffn_chunk,
                                   attn_head_chunk=args.attn_head_chunk,
                                   cross_attn_chunk=args.cross_attn_chunk,
                                   ffn_bwd_chunk=args.ffn_bwd_chunk,
-                                  attn_bwd_chunk=args.attn_bwd_chunk)
+                                  attn_bwd_chunk=args.attn_bwd_chunk,
+                                  cross_attn_backend=args.cross_attn_backend)
     w, h = (int(v) for v in args.size.split("*"))
     fp = (args.frame_num - 1) // 4 + 1
     grid = (fp, h // 8 // 2, w // 8 // 2)
