@@ -96,6 +96,15 @@ def _parse_args(argv=None):
                         "base at 8.3 GB — LoRA fine-tuning the flagship "
                         "on ONE 16 GB chip, vs the reference's 8x80 GB "
                         "training floor")
+    p.add_argument("--lora_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="adapter (and AdamW moment) dtype; bfloat16 is "
+                        "the single-chip 14B QLoRA recipe (bf16 master "
+                        "+ moments, the finetune.sh:8 convention)")
+    p.add_argument("--cross_attn_backend", type=str, default=None,
+                   choices=["auto", "pallas", "chunked", "xla"],
+                   help="attention backend override for the cross-"
+                        "attention sites only")
     # misc
     p.add_argument("--export_safetensors", action="store_true",
                    help="also write reference-layout safetensors")
@@ -129,12 +138,13 @@ def main(argv=None):
 
     cfg = WAN_CONFIGS[args.task]
     mcfg = cfg.model
-    if args.ffn_bwd_chunk or args.attn_bwd_chunk:
+    if args.ffn_bwd_chunk or args.attn_bwd_chunk or args.cross_attn_backend:
         import dataclasses as _dc
 
         mcfg = _dc.replace(mcfg,
                            ffn_bwd_chunk=args.ffn_bwd_chunk,
-                           attn_bwd_chunk=args.attn_bwd_chunk)
+                           attn_bwd_chunk=args.attn_bwd_chunk,
+                           cross_attn_backend=args.cross_attn_backend)
     n_dev = len(jax.devices())
     sp = args.sp_size
     assert n_dev % sp == 0, f"sp_size {sp} must divide devices {n_dev}"
@@ -213,7 +223,8 @@ def main(argv=None):
     lora = None
     if args.use_lora:
         lora = init_lora_params(jax.random.PRNGKey(args.seed + 1), params,
-                                rank=args.lora_rank)
+                                rank=args.lora_rank,
+                                dtype=jnp.dtype(args.lora_dtype))
 
     if mesh is not None:
         from ..parallel.sharding import dit_param_specs, shard_params

@@ -84,7 +84,9 @@ class WanModelConfig:
     # q/rope/attn-out/o-proj transients (not the full-L set) are live
     # during its backward. The r3 finding was that the 75,600-token
     # training bound is precisely this per-layer attention-backward
-    # working set (docs/performance.md).
+    # working set (docs/performance.md). Deliberately self-only: the
+    # same chunking applied to the cross attention AOT-measured 5-6 GB
+    # WORSE (see the note in wan_model.attention_block).
     attn_bwd_chunk: Optional[int] = None
     # Streamed-path loop implementation: "fori" (lax.fori_loop +
     # dynamic slices — minimal HLO, compiles once per body) or

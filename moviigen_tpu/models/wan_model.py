@@ -952,6 +952,13 @@ def attention_block(bp: Params, x: jnp.ndarray, e0: jnp.ndarray,
             xn = xc
         return q_body(xn.astype(compute_dtype))
 
+    # NOTE (r5): q-chunking the cross attention here via attn_bwd_chunk
+    # (_chunked_delta_scan over cross_delta) removes its whole-L
+    # [N, L, text_len] score transient (1.25 GB bf16 at 14B/32,760) but
+    # AOT-measured 5-6 GB WORSE total on XLA:TPU — the extra scan gives
+    # the scheduler more concurrently-live per-chunk buffers than the
+    # single wide attention it replaced. attn_bwd_chunk therefore stays
+    # self-attention-only.
     x = _stream_residual(x, cfg.cross_attn_chunk, cross_delta,
                          unroll=cfg.stream_impl == "unroll")
 

@@ -81,6 +81,18 @@ def main():
                     help="pack the frozen base (requires --lora_rank): "
                          "int4 puts the 14B base at 8.3 GB — flagship "
                          "LoRA fine-tuning on ONE 16 GB chip")
+    ap.add_argument("--lora_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="adapter (and AdamW moment) dtype — bfloat16 "
+                         "matches the repo's sp-cert convention of bf16 "
+                         "master + moments (finetune.sh:8) and saves "
+                         "1.26 GB at 14B rank 32")
+    ap.add_argument("--compiler_opt", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="extra XLA compiler option(s) for the step "
+                         "program, e.g. xla_tpu_enable_latency_hiding_"
+                         "scheduler=false to trade overlap for peak "
+                         "memory (repeatable)")
     args = ap.parse_args()
     if args.quant and not args.lora_rank:
         ap.error("--quant requires --lora_rank (the packed base is "
@@ -146,7 +158,8 @@ def main():
                     jax.random.PRNGKey(1),
                     jax.tree_util.tree_map(
                         lambda s: jnp.zeros(s.shape, s.dtype), frozen_s),
-                    rank=args.lora_rank))
+                    rank=args.lora_rank,
+                    dtype=jnp.dtype(args.lora_dtype)))
         else:
             frozen_s = None
             params_s = jax.eval_shape(lambda: wan_model.init_params(
@@ -165,7 +178,9 @@ def main():
         lowered = jitted.lower(params_s, opt_s, batch_s, key_s, frozen_s) \
             if qlora else jitted.lower(params_s, opt_s, batch_s, key_s)
         print("compiling (backend buffer assignment)...", flush=True)
-        compiled = lowered.compile()
+        copts = dict(kv.split("=", 1) for kv in args.compiler_opt)
+        compiled = lowered.compile(compiler_options=copts) \
+            if copts else lowered.compile()
         ma = compiled.memory_analysis()
         print("compiled OK", flush=True)
         if ma is not None:
@@ -184,7 +199,8 @@ def main():
         frozen = make_frozen(abstract=False)
         jax.block_until_ready(frozen)
         params = init_lora_params(jax.random.PRNGKey(1), frozen,
-                                  rank=args.lora_rank)
+                                  rank=args.lora_rank,
+                                  dtype=jnp.dtype(args.lora_dtype))
     else:
         params = wan_model.init_params(jax.random.PRNGKey(0), cfg,
                                        dtype=jnp.bfloat16)
@@ -201,7 +217,9 @@ def main():
                              jnp.bfloat16),
     }
 
-    jitted = jax.jit(step, donate_argnums=(0, 1))
+    copts = dict(kv.split("=", 1) for kv in args.compiler_opt)
+    jitted = jax.jit(step, donate_argnums=(0, 1),
+                     compiler_options=copts or None)
 
     # dispatch overhead (CLAUDE.md: each scalar readback ~30-40 ms)
     trivial = jax.jit(lambda v: jnp.sum(v))
