@@ -346,6 +346,12 @@ def main(argv=None):
     def do_save(step, is_final=False):
         frozen_meta = {"final": is_final, "lora": bool(args.use_lora),
                        "quant": args.quant or "none"}
+        if args.use_lora:
+            # the watcher needs these to rebuild the A/B template and
+            # apply the alpha/rank scale when attaching to a base
+            frozen_meta["lora_rank"] = args.lora_rank
+            frozen_meta["lora_alpha"] = args.lora_alpha
+            frozen_meta["lora_dtype"] = args.lora_dtype
         path = save_checkpoint(
             args.output_dir, step, trainable, opt_state,
             extra_meta=frozen_meta,

@@ -93,9 +93,41 @@ def main(argv=None):
 
             if pipe is None:
                 pipe = WanT2V(config=cfg, checkpoint_dir=args.ckpt_dir)
-            # load the fine-tuned DiT params over the base pipeline
-            pipe.dit_params, _, _ = restore_checkpoint(
-                path, pipe.dit_params)
+                base_params = pipe.dit_params  # pristine base for LoRA
+            meta = {}
+            meta_path = os.path.join(path, "meta.json")
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path) as f:
+                    meta = json.load(f)
+            if meta.get("lora"):
+                # adapter-only checkpoint (finetune --use_lora): rebuild
+                # the A/B template from the base, restore into it, and
+                # attach as the rank-r side path — renders base+adapters
+                # without materializing merged kernels (works for
+                # quantized bases too)
+                import jax
+
+                from ..training.lora import attach_lora, init_lora_params
+
+                import jax.numpy as jnp
+
+                rank = int(meta.get("lora_rank", 64))
+                alpha = float(meta.get("lora_alpha", 64))
+                dt = jnp.dtype(meta.get("lora_dtype", "float32"))
+                template = init_lora_params(jax.random.PRNGKey(0),
+                                            base_params, rank=rank,
+                                            dtype=dt)
+                lora, _, _ = restore_checkpoint(path, template)
+                pipe.dit_params = attach_lora(base_params, lora,
+                                              alpha=alpha, rank=rank)
+                logging.info("attached rank-%d adapters (alpha=%g)",
+                             rank, alpha)
+            else:
+                # load the fine-tuned DiT params over the base pipeline
+                pipe.dit_params, _, _ = restore_checkpoint(
+                    path, pipe.dit_params)
             pipe._denoise_step_cache.clear()
             last_step = step
 

@@ -41,6 +41,48 @@ def test_valid_training_watcher_once(tmp_path):
     assert "valid0_step7" in vids[0].name
 
 
+def test_valid_training_watcher_lora_checkpoint(tmp_path):
+    """Watcher on an ADAPTER-ONLY checkpoint (finetune --use_lora):
+    rebuilds the A/B template from meta.json's rank/alpha/dtype,
+    restores the adapters, attaches them to the base pipeline params,
+    and renders — the continuous-validation workflow during (Q)LoRA
+    training."""
+    import jax
+
+    from moviigen_tpu.cli.valid_training import main as watch_main
+    from moviigen_tpu.configs import WAN_CONFIGS
+    from moviigen_tpu.models import wan_model
+    from moviigen_tpu.training.checkpoint import save_checkpoint
+    from moviigen_tpu.training.lora import init_lora_params
+
+    cfg = WAN_CONFIGS["t2v-tiny"].model
+    params = wan_model.init_params(jax.random.PRNGKey(0), cfg)
+    lora = init_lora_params(jax.random.PRNGKey(1), params, rank=3,
+                            dtype=jnp.bfloat16)
+    out = tmp_path / "train_out_lora"
+    save_checkpoint(str(out), 5, lora,
+                    extra_meta={"lora": True, "lora_rank": 3,
+                                "lora_alpha": 6, "lora_dtype": "bfloat16",
+                                "quant": "none"})
+
+    prompts = tmp_path / "prompts"
+    prompts.mkdir()
+    (prompts / "valid0.txt").write_text("a lora test prompt\n")
+
+    watch_main([
+        "--task", "t2v-tiny",
+        "--output_dir", str(out),
+        "--prompt_dir", str(prompts),
+        "--size", "480*832",
+        "--frame_num", "5",
+        "--sample_steps", "1",
+        "--once",
+    ])
+    vids = list((out / "checkpoint-step_5" / "validation_videos").iterdir())
+    assert len(vids) == 1
+    assert "valid0_step5" in vids[0].name
+
+
 import jax.numpy as jnp  # noqa: E402
 
 
